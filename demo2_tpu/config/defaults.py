@@ -1,0 +1,276 @@
+"""Configuration system for demo2_tpu.
+
+Knob-for-knob mirror of the reference yacs config (reference:
+config/defaults.py:1-217) so that the reference's YAML presets can be loaded
+unchanged, while being a plain-dataclass tree that is hashable/static-friendly
+for jit.
+
+Design notes (TPU-first):
+  * The config is frozen after construction (`freeze()`), mirroring
+    `cfg.freeze()` (reference: train_net.py:50).
+  * `MODEL.USE_FRCA` keeps the reference tri-state semantics
+    (None -> follow USE_SDTPS, True -> FRCA, False -> neither)
+    (reference: config/defaults.py:73, make_model.py:492-503).
+  * Extra TPU-only knobs live under `TPU` and default to sane values so that
+    reference YAMLs (which do not know about them) load cleanly.
+"""
+
+from __future__ import annotations
+
+import copy
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, List, Optional, Tuple
+
+
+class FrozenError(AttributeError):
+    pass
+
+
+class _Node:
+    """Mutable-until-frozen config node with attribute access."""
+
+    _frozen: bool = False
+
+    def __setattr__(self, key, value):
+        if getattr(self, "_frozen", False) and key != "_frozen":
+            raise FrozenError(f"Config is frozen; cannot set {key}")
+        object.__setattr__(self, key, value)
+
+    def freeze(self):
+        object.__setattr__(self, "_frozen", True)
+        for v in self.__dict__.values():
+            if isinstance(v, _Node):
+                v.freeze()
+        return self
+
+    def defrost(self):
+        object.__setattr__(self, "_frozen", False)
+        for v in self.__dict__.values():
+            if isinstance(v, _Node):
+                v.defrost()
+        return self
+
+    def clone(self):
+        return copy.deepcopy(self.defrost_copy())
+
+    def defrost_copy(self):
+        new = copy.deepcopy(self)
+        new.defrost()
+        return new
+
+    def to_dict(self):
+        out = {}
+        for k, v in self.__dict__.items():
+            if k.startswith("_"):
+                continue
+            out[k] = v.to_dict() if isinstance(v, _Node) else v
+        return out
+
+    def __repr__(self):
+        return f"{type(self).__name__}({self.to_dict()})"
+
+
+def _node(cls):
+    """Decorator: dataclass whose instances behave like yacs CfgNodes."""
+    return dataclass(eq=True)(type(cls.__name__, (cls, _Node), dict(cls.__dict__)))
+
+
+@_node
+class ModelConfig:
+    # Architecture selection (reference: config/defaults.py:9)
+    ARCH: str = "DeMo"
+    DEVICE: str = "tpu"
+    DEVICE_ID: str = "0"
+    NAME: str = "DeMo"
+    PRETRAIN_PATH_T: str = ""
+    NECK: str = "bnneck"
+    IF_WITH_CENTER: str = "no"
+    ID_LOSS_TYPE: str = "softmax"
+    ID_LOSS_WEIGHT: float = 1.0
+    TRIPLET_LOSS_WEIGHT: float = 1.0
+    METRIC_LOSS_TYPE: str = "triplet"
+    DIST_TRAIN: bool = False
+    PROMPT: bool = False
+    ADAPTER: bool = False
+    FROZEN: bool = False
+    # HDM / ATMoE (the original-paper path; reference: config/defaults.py:36-37)
+    HDM: bool = False
+    ATM: bool = False
+    # SACR (reference: config/defaults.py:39-40)
+    USE_SACR: bool = False
+    SACR_DILATION_RATES: Tuple[int, ...] = (2, 3, 4)
+    # SDTPS (reference: config/defaults.py:42-50)
+    USE_SDTPS: bool = False
+    SDTPS_SPARSE_RATIO: float = 0.5
+    SDTPS_AGGR_RATIO: float = 0.4
+    SDTPS_BETA: float = 0.25
+    SDTPS_USE_GUMBEL: bool = False
+    SDTPS_GUMBEL_TAU: float = 1.0
+    SDTPS_LOSS_WEIGHT: float = 2.0
+    SDTPS_CROSS_ATTN_TYPE: str = "cosine"
+    SDTPS_CROSS_ATTN_HEADS: int = 4
+    SDTPS_SHARE_CROSS_ATTN: bool = False
+    # Trimodal-LIF (reference: config/defaults.py:52-55)
+    USE_LIF: bool = False
+    LIF_BETA: float = 0.4
+    LIF_LOSS_WEIGHT: float = 0.1
+    LIF_LAYER: int = 3
+    # DGAF (reference: config/defaults.py:58-63)
+    USE_DGAF: bool = False
+    DGAF_VERSION: str = "v3"
+    DGAF_TAU: float = 1.0
+    DGAF_INIT_ALPHA: float = 0.5
+    DGAF_NUM_HEADS: int = 8
+    DGAF_LOSS_WEIGHT: float = 1.0
+    # MultiModal SACR (reference: config/defaults.py:66-67)
+    USE_MULTIMODAL_SACR: bool = False
+    MULTIMODAL_SACR_VERSION: str = "v1"
+    FUSED_LOSS_WEIGHT: float = 0.5
+    # FRCA (reference: config/defaults.py:73-76)
+    USE_FRCA: Optional[bool] = None
+    FRCA_NEGATIVE_SLOPE: float = 0.1
+    FRCA_USE_CROSS_ATTN: bool = False
+    FRCA_CROSS_ATTN_HEADS: int = 8
+    IF_LABELSMOOTH: str = "on"
+    DIRECT: int = 1
+    # Transformer settings (reference: config/defaults.py:83-89)
+    DROP_PATH: float = 0.1
+    DROP_OUT: float = 0.0
+    ATT_DROP_RATE: float = 0.0
+    TRANSFORMER_TYPE: str = "vit_base_patch16_224"
+    STRIDE_SIZE: Tuple[int, int] = (16, 16)
+    GLOBAL_LOCAL: bool = False
+    HEAD: int = 12  # number of ATMoE heads
+    # SIE (reference: config/defaults.py:92-94)
+    SIE_COE: float = 3.0
+    SIE_CAMERA: bool = True
+    SIE_VIEW: bool = False
+    NO_MARGIN: bool = True
+
+
+@_node
+class InputConfig:
+    SIZE_TRAIN: Tuple[int, int] = (256, 128)
+    SIZE_TEST: Tuple[int, int] = (256, 128)
+    PROB: float = 0.5
+    RE_PROB: float = 0.5
+    PIXEL_MEAN: Tuple[float, float, float] = (0.5, 0.5, 0.5)
+    PIXEL_STD: Tuple[float, float, float] = (0.5, 0.5, 0.5)
+    PADDING: int = 10
+
+
+@_node
+class DatasetsConfig:
+    NAMES: str = "RGBNT201"
+    ROOT_DIR: str = "./data"
+
+
+@_node
+class DataloaderConfig:
+    NUM_WORKERS: int = 4
+    SAMPLER: str = "softmax_triplet"
+    NUM_INSTANCE: int = 16
+
+
+@_node
+class SolverConfig:
+    OPTIMIZER_NAME: str = "SGD"
+    MAX_EPOCHS: int = 120
+    BASE_LR: float = 0.009
+    LARGE_FC_LR: bool = False
+    MOMENTUM: float = 0.9
+    MARGIN: float = 0.3
+    CLUSTER_MARGIN: float = 0.3
+    CENTER_LR: float = 0.5
+    CENTER_LOSS_WEIGHT: float = 0.0005
+    RANGE_K: int = 2
+    RANGE_MARGIN: float = 0.3
+    RANGE_ALPHA: int = 0
+    RANGE_BETA: int = 1
+    RANGE_LOSS_WEIGHT: int = 1
+    WEIGHT_DECAY: float = 0.0001
+    WEIGHT_DECAY_BIAS: float = 0.0001
+    GAMMA: float = 0.1
+    STEPS: Tuple[int, ...] = (40, 70)
+    WARMUP_FACTOR: float = 0.01
+    WARMUP_ITERS: int = 10
+    WARMUP_METHOD: str = "linear"
+    LR_SCHEDULER: str = "cosine"
+    COSINE_MARGIN: float = 0.5
+    COSINE_SCALE: int = 30
+    SEED: int = 1234
+    CHECKPOINT_PERIOD: int = 10
+    LOG_PERIOD: int = 10
+    EVAL_PERIOD: int = 1
+    IMS_PER_BATCH: int = 128
+
+
+@_node
+class TestConfig:
+    IMS_PER_BATCH: int = 256
+    RE_RANKING: str = "no"
+    WEIGHT: str = ""
+    NECK_FEAT: str = "before"
+    FEAT_NORM: str = "yes"
+    MISS: str = "None"
+    FEAT: int = 0  # injected by train CLI (--fea_cft), reference: train_net.py:49
+
+
+@_node
+class TPUConfig:
+    """TPU-only knobs (no reference counterpart)."""
+
+    # Computation dtype for the backbone/fusion stack: 'bfloat16' or 'float32'.
+    COMPUTE_DTYPE: str = "bfloat16"
+    # Use the Pallas fused attention kernel when running on TPU.
+    USE_FLASH_ATTENTION: bool = True
+    # Data-parallel mesh axis size; -1 = use all local devices.
+    NUM_DEVICES: int = -1
+    # Remat (activation checkpointing) for the backbone blocks.
+    REMAT_BACKBONE: bool = False
+    # Donate train-state buffers in the jitted train step.
+    DONATE_STATE: bool = True
+    # Run CMC/mAP evaluation on device.
+    EVAL_ON_DEVICE: bool = True
+    # Backbone size overrides for tests/benchmarks (-1 = architecture default).
+    BACKBONE_DEPTH: int = -1
+    BACKBONE_WIDTH: int = -1
+    BACKBONE_HEADS: int = -1
+
+
+@_node
+class Config:
+    MODEL: Any = field(default_factory=ModelConfig)
+    INPUT: Any = field(default_factory=InputConfig)
+    DATASETS: Any = field(default_factory=DatasetsConfig)
+    DATALOADER: Any = field(default_factory=DataloaderConfig)
+    SOLVER: Any = field(default_factory=SolverConfig)
+    TEST: Any = field(default_factory=TestConfig)
+    TPU: Any = field(default_factory=TPUConfig)
+    OUTPUT_DIR: str = "./test"
+
+    # ---- yacs-compatible API -------------------------------------------------
+    def merge_from_file(self, path: str):
+        from .yaml_loader import merge_yaml_file
+
+        merge_yaml_file(self, path)
+        return self
+
+    def merge_from_list(self, opts: List[Any]):
+        from .yaml_loader import merge_opts_list
+
+        merge_opts_list(self, opts)
+        return self
+
+
+def get_cfg_defaults() -> Config:
+    """Return a fresh mutable default config."""
+    return Config()
+
+
+def feat_dim_for(transformer_type: str) -> int:
+    """Output feature dim per modality (reference: make_model.py:467-470)."""
+    if "ViT-B-16" in transformer_type:
+        return 512
+    return 768

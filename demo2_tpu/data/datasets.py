@@ -1,0 +1,214 @@
+"""Dataset parsers: RGBNT201, RGBNT100, MSVR310 (+ synthetic stand-in).
+
+Reference: data/datasets/RGBNT201.py:61-88 (globbed RGB dir, pid from
+filename[0:6], camid from the digit after '_cam', relabel for train),
+RGBNT100.py:63-86 (single-dir wide images, regex '([-\\d]+)_c(\\d)', pid<=600
+filter, camid 1..8 -> 0..7), msvr310.py:66-87 (per-vehicle dirs with
+vis/ni/th subdirs, camid from char 11, sceneid from chars 6:9 — used by the
+stricter same-scene eval protocol).
+
+Each sample is (image_ref, pid, camid, trackid) where image_ref is either a
+list of 3 per-modality paths (RGBNT201/MSVR310) or a single wide-image path
+cropped into 3 strips at load time (RGBNT100) — layouts from
+data/datasets/bases.py:9-43.  trackid carries the MSVR310 scene id.
+
+`SyntheticTriModal` is a CPU-runnable procedural stand-in with learnable
+identity structure, used by the e2e tests (the reference has no such
+fixture; SURVEY §4 calls this out as a gap to fill).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import os.path as osp
+import re
+from typing import List, Tuple
+
+import numpy as np
+
+
+class BaseDataset:
+    train: List
+    query: List
+    gallery: List
+
+    def _info(self, data):
+        pids = {x[1] for x in data}
+        cams = {x[2] for x in data}
+        tracks = {x[3] for x in data}
+        return len(pids), len(data), len(cams), len(tracks)
+
+    def finalize(self):
+        self.num_train_pids, self.num_train_imgs, self.num_train_cams, self.num_train_vids = self._info(
+            self.train
+        )
+        (self.num_query_pids, self.num_query_imgs, self.num_query_cams, _) = self._info(
+            self.query
+        )
+        (
+            self.num_gallery_pids,
+            self.num_gallery_imgs,
+            self.num_gallery_cams,
+            _,
+        ) = self._info(self.gallery)
+
+
+class RGBNT201(BaseDataset):
+    """Tri-modal person Re-ID (reference: RGBNT201.py)."""
+
+    def __init__(self, root: str):
+        self.dataset_dir = osp.join(root, "RGBNT201")
+        train_dir = osp.join(self.dataset_dir, "train_171")
+        test_dir = osp.join(self.dataset_dir, "test")
+        self.train = self._process(train_dir, relabel=True)
+        self.query = self._process(test_dir, relabel=False)
+        self.gallery = self._process(test_dir, relabel=False)
+        self.finalize()
+
+    def _process(self, dir_path: str, relabel: bool):
+        rgb = sorted(glob.glob(osp.join(dir_path, "RGB", "*")))
+        pid_container = set()
+        for p in rgb:
+            pid = int(osp.basename(p)[0:6])
+            pid_container.add(pid)
+        pid2label = {pid: i for i, pid in enumerate(sorted(pid_container))}
+        data = []
+        for p in rgb:
+            name = osp.basename(p)
+            pid = int(name[0:6])
+            # camid digit follows '_cam' in the filename.
+            m = re.search(r"cam(\d)", name)
+            camid = int(m.group(1)) - 1 if m else 0
+            if relabel:
+                pid = pid2label[pid]
+            paths = [
+                p,
+                osp.join(dir_path, "NI", name),
+                osp.join(dir_path, "TI", name),
+            ]
+            data.append((paths, pid, camid, -1))
+        return data
+
+
+class RGBNT100(BaseDataset):
+    """Tri-modal vehicle Re-ID, wide-strip layout (reference: RGBNT100.py)."""
+
+    _pattern = re.compile(r"([-\d]+)_c(\d)")
+
+    def __init__(self, root: str):
+        self.dataset_dir = osp.join(root, "RGBNT100", "rgbir")
+        self.train = self._process(osp.join(self.dataset_dir, "bounding_box_train"), True)
+        self.query = self._process(osp.join(self.dataset_dir, "query"), False)
+        self.gallery = self._process(
+            osp.join(self.dataset_dir, "bounding_box_test"), False
+        )
+        self.finalize()
+
+    def _process(self, dir_path: str, relabel: bool):
+        imgs = sorted(glob.glob(osp.join(dir_path, "*.jpg")))
+        pid_container = set()
+        for p in imgs:
+            pid, _ = map(int, self._pattern.search(osp.basename(p)).groups())
+            if pid == -1 or pid > 600:
+                continue
+            pid_container.add(pid)
+        pid2label = {pid: i for i, pid in enumerate(sorted(pid_container))}
+        data = []
+        for p in imgs:
+            pid, camid = map(int, self._pattern.search(osp.basename(p)).groups())
+            if pid == -1 or pid > 600:
+                continue
+            camid -= 1
+            if relabel:
+                pid = pid2label[pid]
+            data.append((p, pid, camid, -1))  # single wide image path
+        return data
+
+
+class MSVR310(BaseDataset):
+    """Tri-modal vehicle Re-ID with scene ids (reference: msvr310.py)."""
+
+    def __init__(self, root: str):
+        self.dataset_dir = osp.join(root, "MSVR310")
+        self.train = self._process(osp.join(self.dataset_dir, "train"), relabel=True)
+        self.query = self._process(osp.join(self.dataset_dir, "query3"), relabel=False)
+        self.gallery = self._process(
+            osp.join(self.dataset_dir, "gallery3"), relabel=False
+        )
+        self.finalize()
+
+    def _process(self, dir_path: str, relabel: bool):
+        vids = sorted(os.listdir(dir_path)) if osp.isdir(dir_path) else []
+        pid_container = {int(v) for v in vids}
+        pid2label = {pid: i for i, pid in enumerate(sorted(pid_container))}
+        data = []
+        for v in vids:
+            vis = sorted(glob.glob(osp.join(dir_path, v, "vis", "*.jpg")))
+            for p in vis:
+                name = osp.basename(p)
+                pid = int(v)
+                camid = int(name[11])  # char 11 (reference: msvr310.py:80)
+                sceneid = int(name[6:9])  # chars 6:9 (reference: :82)
+                if relabel:
+                    pid = pid2label[pid]
+                paths = [
+                    p,
+                    osp.join(dir_path, v, "ni", name),
+                    osp.join(dir_path, v, "th", name),
+                ]
+                data.append((paths, pid, camid, sceneid))
+        return data
+
+
+class SyntheticTriModal(BaseDataset):
+    """Procedural tri-modal dataset with identity structure (CPU-testable)."""
+
+    def __init__(
+        self,
+        root: str = "",
+        num_pids: int = 8,
+        num_cams: int = 4,
+        imgs_per_pid: int = 8,
+        image_size: Tuple[int, int] = (64, 32),
+        seed: int = 0,
+    ):
+        self.image_size = image_size
+        rng = np.random.default_rng(seed)
+        self._palettes = rng.uniform(0.1, 0.9, size=(num_pids, 3, 3))  # pid, modality, rgb
+
+        def split(tag, relabel):
+            data = []
+            for pid in range(num_pids):
+                for j in range(imgs_per_pid):
+                    camid = (pid + j) % num_cams
+                    data.append(((tag, pid, j), pid, camid, j % 3))
+                # trackid doubles as a synthetic scene id
+            return data
+
+        self.train = split("train", True)
+        self.query = [s for s in split("test", False) if s[1] % 1 == 0][: num_pids * 2]
+        self.gallery = split("gallery", False)
+        self.finalize()
+
+    def render(self, ref) -> List[np.ndarray]:
+        """Generate the 3 modality images for a sample reference."""
+        tag, pid, j = ref
+        h, w = self.image_size
+        rng = np.random.default_rng(hash((tag, pid, j)) % (2 ** 31))
+        imgs = []
+        for m in range(3):
+            base = np.ones((h, w, 3), np.float32) * self._palettes[pid, m]
+            yy, xx = np.mgrid[0:h, 0:w]
+            stripe = ((yy // max(2, pid + 2)) % 2).astype(np.float32)[..., None]
+            img = 0.7 * base + 0.2 * stripe + 0.1 * rng.uniform(0, 1, (h, w, 3))
+            imgs.append((img * 255).clip(0, 255).astype(np.uint8))
+        return imgs
+
+
+DATASET_REGISTRY = {
+    "RGBNT201": RGBNT201,
+    "RGBNT100": RGBNT100,
+    "MSVR310": MSVR310,
+    "Synthetic": SyntheticTriModal,
+}

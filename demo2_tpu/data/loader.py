@@ -1,0 +1,166 @@
+"""Tri-modal batch pipeline.
+
+Reference: data/datasets/make_dataloader.py — transform composition
+(:188-202), collate to a per-modality dict (:142-184), PK-sampled train
+loader + sequential query+gallery val loader (:214-259), and
+bases.py:9-43 for the two image layouts (3 paths vs one wide strip image).
+
+TPU-first deltas: batches collate to a single stacked (B, 3, H, W, 3)
+channel-last array (modality axis explicit) ready for the one-pass backbone;
+decoding/augmentation runs in a thread pool with background prefetch; the
+last val batch is padded to the fixed batch shape (jit-friendly) and trimmed
+after feature extraction.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Any, Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+from PIL import Image, ImageFile
+
+from ..config.defaults import Config
+from .datasets import DATASET_REGISTRY, SyntheticTriModal
+from .sampler import RandomIdentitySampler
+from .transforms import EvalTransform, TrainTransform
+
+ImageFile.LOAD_TRUNCATED_IMAGES = True  # reference: bases.py:6
+
+
+def read_image(ref, dataset=None) -> List[Image.Image]:
+    """Load the 3 modality images (reference: bases.py:9-43)."""
+    if dataset is not None and isinstance(dataset, SyntheticTriModal) and isinstance(ref, tuple):
+        return [Image.fromarray(a) for a in dataset.render(ref)]
+    if isinstance(ref, str):  # RGBNT100 wide strip
+        img = Image.open(ref).convert("RGB")
+        return [
+            img.crop((0, 0, 256, 128)),
+            img.crop((256, 0, 512, 128)),
+            img.crop((512, 0, 768, 128)),
+        ]
+    return [Image.open(p).convert("RGB") for p in ref]
+
+
+@dataclass
+class Batch:
+    images: np.ndarray  # (B, 3, H, W, 3) float32
+    pids: np.ndarray  # (B,) int32
+    camids: np.ndarray  # (B,) int32
+    viewids: np.ndarray  # (B,) int32 (trackid / sceneid)
+    paths: List[Any]
+    valid: int  # number of non-padded samples
+
+
+class TriModalDataPipe:
+    def __init__(self, samples, dataset, transform, batch_size: int, num_workers: int = 4):
+        self.samples = samples
+        self.dataset = dataset
+        self.transform = transform
+        self.batch_size = batch_size
+        self.pool = cf.ThreadPoolExecutor(max_workers=max(1, num_workers))
+
+    def _load_one(self, idx: int, rng: np.random.Generator) -> np.ndarray:
+        ref = self.samples[idx][0]
+        imgs = read_image(ref, self.dataset)
+        # Transforms applied independently per modality (bases.py:103-104).
+        return np.stack([self.transform(im, rng) for im in imgs])  # (3, H, W, 3)
+
+    def _make_batch(self, indices: np.ndarray, seed: int, pad_to: Optional[int]) -> Batch:
+        rngs = [np.random.default_rng((seed, int(i), k)) for k, i in enumerate(indices)]
+        arrs = list(self.pool.map(self._load_one, indices, rngs))
+        valid = len(indices)
+        if pad_to is not None and valid < pad_to:
+            arrs.extend([arrs[-1]] * (pad_to - valid))
+            indices = np.concatenate([indices, np.full(pad_to - valid, indices[-1])])
+        images = np.stack(arrs).astype(np.float32)
+        meta = [self.samples[i] for i in indices]
+        return Batch(
+            images=images,
+            pids=np.asarray([m[1] for m in meta], np.int32),
+            camids=np.asarray([m[2] for m in meta], np.int32),
+            viewids=np.asarray([m[3] for m in meta], np.int32),
+            paths=[m[0] for m in meta],
+            valid=valid,
+        )
+
+    def iter_batches(
+        self,
+        order: np.ndarray,
+        seed: int = 0,
+        drop_last: bool = True,
+        pad_last: bool = False,
+        prefetch: int = 2,
+    ) -> Iterator[Batch]:
+        bs = self.batch_size
+        n_full = len(order) // bs
+        chunks = [order[i * bs : (i + 1) * bs] for i in range(n_full)]
+        rem = order[n_full * bs :]
+        if len(rem) and not drop_last:
+            chunks.append(rem)
+
+        q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        stop = object()
+
+        def producer():
+            try:
+                for ch in chunks:
+                    pad = bs if pad_last else None
+                    q.put(self._make_batch(np.asarray(ch), seed, pad))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+
+
+def make_dataloader(cfg: Config):
+    """Factory mirroring make_dataloader(cfg) (reference: :187-259).
+
+    Returns (train_pipe, sampler, val_pipe, num_query, num_classes,
+    cam_num, view_num).  Train iteration: `train_pipe.iter_batches(
+    sampler.epoch_indices(epoch), seed=epoch)`.
+    """
+    name = cfg.DATASETS.NAMES
+    dataset = DATASET_REGISTRY[name](root=cfg.DATASETS.ROOT_DIR)
+
+    train_tf = TrainTransform(
+        size=tuple(cfg.INPUT.SIZE_TRAIN),
+        flip_prob=cfg.INPUT.PROB,
+        padding=cfg.INPUT.PADDING,
+        re_prob=cfg.INPUT.RE_PROB,
+        mean=cfg.INPUT.PIXEL_MEAN,
+        std=cfg.INPUT.PIXEL_STD,
+    )
+    eval_tf = EvalTransform(
+        size=tuple(cfg.INPUT.SIZE_TEST), mean=cfg.INPUT.PIXEL_MEAN, std=cfg.INPUT.PIXEL_STD
+    )
+
+    train_pipe = TriModalDataPipe(
+        dataset.train, dataset, train_tf, cfg.SOLVER.IMS_PER_BATCH, cfg.DATALOADER.NUM_WORKERS
+    )
+    sampler = RandomIdentitySampler(
+        dataset.train, cfg.SOLVER.IMS_PER_BATCH, cfg.DATALOADER.NUM_INSTANCE,
+        seed=cfg.SOLVER.SEED,
+    )
+    val_samples = list(dataset.query) + list(dataset.gallery)
+    val_pipe = TriModalDataPipe(
+        val_samples, dataset, eval_tf, cfg.TEST.IMS_PER_BATCH, cfg.DATALOADER.NUM_WORKERS
+    )
+    return (
+        train_pipe,
+        sampler,
+        val_pipe,
+        len(dataset.query),
+        dataset.num_train_pids,
+        dataset.num_train_cams,
+        dataset.num_train_vids,
+    )

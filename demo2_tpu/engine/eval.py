@@ -1,0 +1,113 @@
+"""Inference engine: jitted feature extraction + on-device metrics.
+
+Reference: engine/processor.py `do_inference` (:193-244) and
+`training_neat_eval` (:247-282) — batch loop collecting features on CPU,
+then numpy distmat + CMC (the reference's CPU hot spot, SURVEY §3.5).
+
+Here feature extraction is a jitted data-parallel forward; missing-modality
+simulation (TEST.MISS, reference make_model.py:718-724) enters the SAME
+graph as a (3,) multiplicative mask, so the full-modality and every
+missing-modality sweep share one compiled executable.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.defaults import Config
+from ..parallel.mesh import batch_sharding, replicated_sharding
+from ..utils.metrics import R1mAPEvaluator
+
+logger = logging.getLogger("DeMo")
+
+MISS_MASKS = {
+    "None": (1.0, 1.0, 1.0),
+    "r": (0.0, 1.0, 1.0),
+    "n": (1.0, 0.0, 1.0),
+    "t": (1.0, 1.0, 0.0),
+    "rn": (0.0, 0.0, 1.0),
+    "rt": (0.0, 1.0, 0.0),
+    "nt": (1.0, 0.0, 0.0),
+}
+
+
+def build_eval_step(cfg: Config, model, mesh=None):
+    def eval_step(params, batch_stats, images, camids, viewids, mask, return_pattern):
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images,
+            camids,
+            viewids,
+            mask,
+            train=False,
+            return_pattern=return_pattern,
+        )
+        return out["embedding"]
+
+    if mesh is not None:
+        repl = replicated_sharding(mesh)
+        bsh = batch_sharding(mesh)
+        return jax.jit(
+            eval_step,
+            in_shardings=(repl, repl, bsh, bsh, bsh, repl),
+            out_shardings=bsh,
+            static_argnums=(6,),
+        )
+    return jax.jit(eval_step, static_argnums=(6,))
+
+
+def run_eval(
+    cfg: Config,
+    eval_step,
+    state,
+    val_pipe,
+    num_query: int,
+    return_pattern: int = 3,
+) -> Tuple[np.ndarray, float]:
+    """Extract features over query+gallery and compute CMC/mAP."""
+    scene_protocol = cfg.DATASETS.NAMES == "MSVR310"
+    evaluator = R1mAPEvaluator(
+        num_query=num_query,
+        feat_norm=cfg.TEST.FEAT_NORM == "yes",
+        reranking=cfg.TEST.RE_RANKING == "yes",
+        scene_protocol=scene_protocol,
+    )
+    mask = jnp.asarray(MISS_MASKS[str(cfg.TEST.MISS)], jnp.float32)
+    order = np.arange(len(val_pipe.samples))
+    for batch in val_pipe.iter_batches(order, drop_last=False, pad_last=True):
+        feat = eval_step(
+            state.params,
+            state.batch_stats,
+            jnp.asarray(batch.images),
+            jnp.asarray(batch.camids),
+            jnp.asarray(batch.viewids),
+            mask,
+            return_pattern,
+        )
+        v = batch.valid
+        evaluator.update(
+            np.asarray(feat)[:v],
+            batch.pids[:v],
+            batch.camids[:v],
+            batch.viewids[:v] if scene_protocol else None,
+        )
+    cmc, mAP = evaluator.compute(on_device=cfg.TPU.EVAL_ON_DEVICE)
+    return np.asarray(cmc), float(mAP)
+
+
+def do_inference(cfg: Config, model, state, val_pipe, num_query: int,
+                 return_pattern: int = 3, mesh=None):
+    """`do_inference` equivalent (reference: processor.py:193-244)."""
+    eval_step = build_eval_step(cfg, model, mesh)
+    cmc, mAP = run_eval(cfg, eval_step, state, val_pipe, num_query, return_pattern)
+    logger.info("Validation Results")
+    logger.info("mAP: %.1f%%", mAP * 100)
+    for r in (1, 5, 10):
+        if len(cmc) >= r:
+            logger.info("CMC curve, Rank-%d: %.1f%%", r, cmc[r - 1] * 100)
+    return cmc, mAP

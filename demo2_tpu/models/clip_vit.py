@@ -1,0 +1,142 @@
+"""CLIP VisionTransformer (ViT-B/16) in flax, TPU layout (NHWC).
+
+Structural parity with the reference CLIP visual tower
+(reference: modeling/clip/model.py:418-484):
+  * conv patch embed (16x16, stride from config, no bias);
+  * class embedding; the camera SIE embedding `cv_emb` is added to the CLS
+    token ONLY (reference: clip/model.py:453-454);
+  * learned positional embedding, pre-LN, 12 residual attention blocks with
+    QuickGELU MLPs, post-LN over all tokens, then projection to 512-d;
+  * returns ALL projected tokens (B, N+1, output_dim).
+
+TPU-first deltas: computation in a configurable dtype (bf16 by default) with
+fp32 LayerNorms and fp32 attention softmax; attention can use the Pallas
+fused kernel.  The prompt/adapter tuning path (reference:
+clip/model.py:238-404, off by default per README) is not implemented; the
+flags are accepted and must be False.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.activations import quick_gelu
+from ..ops.attention import MultiHeadAttention
+from ..ops.norm import LayerNorm
+from ..ops.linear import torch_linear_kernel_init
+
+
+class CLIPMlp(nn.Module):
+    width: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(
+            self.width * 4,
+            kernel_init=torch_linear_kernel_init,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="c_fc",
+        )(x)
+        x = quick_gelu(x)
+        x = nn.Dense(
+            self.width,
+            kernel_init=torch_linear_kernel_init,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="c_proj",
+        )(x)
+        return x
+
+
+class ResidualAttentionBlock(nn.Module):
+    """Pre-LN block (reference: clip/model.py:168-230, forward_ori)."""
+
+    width: int
+    heads: int
+    dtype: Any = jnp.float32
+    attn_implementation: str = "xla"
+
+    @nn.compact
+    def __call__(self, x):
+        y = LayerNorm(name="ln_1")(x)
+        y = MultiHeadAttention(
+            num_heads=self.heads,
+            dtype=self.dtype,
+            implementation=self.attn_implementation,
+            name="attn",
+        )(y)
+        x = x + y
+        y = LayerNorm(name="ln_2")(x)
+        y = CLIPMlp(self.width, dtype=self.dtype, name="mlp")(y)
+        return x + y
+
+
+class CLIPVisionTransformer(nn.Module):
+    h_resolution: int
+    w_resolution: int
+    patch_size: int = 16
+    stride_size: int = 16
+    width: int = 768
+    layers: int = 12
+    heads: int = 12
+    output_dim: int = 512
+    dtype: Any = jnp.float32
+    attn_implementation: str = "xla"
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, cv_emb: Optional[jnp.ndarray] = None):
+        """x: (B, H, W, 3) images; cv_emb: (B, width) SIE embedding or None."""
+        b = x.shape[0]
+        scale = self.width ** -0.5
+        x = nn.Conv(
+            self.width,
+            kernel_size=(self.patch_size, self.patch_size),
+            strides=(self.stride_size, self.stride_size),
+            use_bias=False,
+            padding="VALID",
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv1",
+        )(x.astype(self.dtype))
+        x = x.reshape(b, -1, self.width)  # (B, N, width)
+
+        class_embedding = self.param(
+            "class_embedding", nn.initializers.normal(scale), (self.width,), jnp.float32
+        )
+        cls = jnp.broadcast_to(class_embedding.astype(self.dtype), (b, 1, self.width))
+        if cv_emb is not None:
+            cls = cls + cv_emb.astype(self.dtype)[:, None, :]
+        x = jnp.concatenate([cls, x], axis=1)  # (B, N+1, width)
+
+        pos = self.param(
+            "positional_embedding",
+            nn.initializers.normal(scale),
+            (self.h_resolution * self.w_resolution + 1, self.width),
+            jnp.float32,
+        )
+        x = x + pos.astype(self.dtype)[None]
+        x = LayerNorm(name="ln_pre")(x)
+
+        block_cls = ResidualAttentionBlock
+        if self.remat:
+            block_cls = nn.remat(ResidualAttentionBlock)
+        for i in range(self.layers):
+            x = block_cls(
+                self.width,
+                self.heads,
+                dtype=self.dtype,
+                attn_implementation=self.attn_implementation,
+                name=f"resblocks_{i}",
+            )(x)
+
+        x = LayerNorm(name="ln_post")(x)
+        proj = self.param(
+            "proj", nn.initializers.normal(scale), (self.width, self.output_dim), jnp.float32
+        )
+        return x @ proj.astype(self.dtype)

@@ -1,0 +1,210 @@
+"""HDM (Hierarchical Decoupling Module) + ATMoE (Attention-Triggered MoE).
+
+Reference: modeling/moe/AttnMOE.py — HDM builds 7 decoupled features by
+cross-attending 7 learnable query tokens over the token subsets {R}, {N},
+{T}, {RN}, {RT}, {NT}, {RNT} with 7 independent nn.MultiheadAttention
+modules (:135-191); ATMoE (`MoM`) gates 7 dense experts per head-chunk with
+an attention gate (:50-121).  NOTE: this call path is orphaned in the
+reference fork (constructed at make_model.py:131-138 but never invoked by
+any forward); here it is wired as a first-class branch, restoring the
+original-paper semantics.
+
+TPU-first redesign:
+  * the 7 subset-attentions become ONE batched attention over the full
+    3(N+1)-token concat with a per-set additive mask — restricted softmax
+    over a masked set is mathematically identical to attention over the
+    subset, and one big masked matmul beats 7 small sequential MHAs;
+  * the per-set projection weights are stacked with a leading (7,) axis and
+    applied with single einsums;
+  * ATMoE's 7x`head` expert MLPs collapse into one (head, expert, d, d)
+    einsum + one flattened BatchNorm — the dense MoE never dispatches, so no
+    all-to-all is needed (SURVEY §2.12).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.activations import quick_gelu
+from ..ops.linear import TorchLinear, xavier_uniform_init
+from ..ops.norm import TorchBatchNorm
+
+NUM_SETS = 7
+# Membership of each modality segment (R, N, T) in each of the 7 sets.
+SET_MEMBERSHIP = np.array(
+    [
+        [1, 0, 0],  # R
+        [0, 1, 0],  # N
+        [0, 0, 1],  # T
+        [1, 1, 0],  # RN
+        [1, 0, 1],  # RT
+        [0, 1, 1],  # NT
+        [1, 1, 1],  # RNT
+    ],
+    dtype=np.float32,
+)
+
+
+class HDM(nn.Module):
+    """7-way decoupling via one masked batched cross-attention."""
+
+    feat_dim: int
+    dropout: float = 0.1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        patches: jnp.ndarray,  # (3, B, N, C)
+        globals_: jnp.ndarray,  # (3, B, C)
+        deterministic: bool = True,
+    ) -> jnp.ndarray:  # (7, B, C)
+        m, b, n, c = patches.shape
+        h = c // 64  # head_num_attn = feat_dim // 64 (reference: :142)
+        d = c // h
+        f32 = jnp.float32
+        seg = n + 1  # [global; patches] per modality (reference: :163-165)
+
+        # Full token sequence (B, 3(N+1), C), modality-segment-major.
+        full = jnp.concatenate(
+            [
+                jnp.concatenate([globals_[i][:, None], patches[i]], axis=1)
+                for i in range(m)
+            ],
+            axis=1,
+        ).astype(self.dtype)
+        L = m * seg
+
+        scale = self.feat_dim ** -0.5
+        tokens = self.param(
+            "set_tokens", nn.initializers.normal(scale), (NUM_SETS, c), f32
+        )
+        in_proj = self.param(
+            "in_proj_kernel", xavier_uniform_init, (NUM_SETS, c, 3 * c), f32
+        )
+        in_bias = self.param("in_proj_bias", nn.initializers.zeros, (NUM_SETS, 3 * c), f32)
+        wq, wk, wv = jnp.split(in_proj.astype(self.dtype), 3, axis=-1)
+        bq, bk, bv = jnp.split(in_bias.astype(self.dtype), 3, axis=-1)
+
+        q = jnp.einsum("sc,scd->sd", tokens.astype(self.dtype), wq) + bq  # (7, C)
+        q = q.reshape(NUM_SETS, h, d)
+        k = jnp.einsum("blc,scd->sbld", full, wk) + bk[:, None, None, :]
+        v = jnp.einsum("blc,scd->sbld", full, wv) + bv[:, None, None, :]
+        k = k.reshape(NUM_SETS, b, L, h, d)
+        v = v.reshape(NUM_SETS, b, L, h, d)
+
+        logits = jnp.einsum("shd,sblhd->sbhl", q, k, preferred_element_type=f32) * scale
+        member = jnp.repeat(jnp.asarray(SET_MEMBERSHIP), seg, axis=1)  # (7, L)
+        mask_bias = jnp.where(member > 0, 0.0, -1e30)[:, None, None, :]  # (7,1,1,L)
+        probs = jax.nn.softmax(logits.astype(f32) + mask_bias, axis=-1)
+        if self.dropout > 0.0 and not deterministic:
+            keep = jax.random.bernoulli(
+                self.make_rng("dropout"), 1.0 - self.dropout, probs.shape
+            )
+            probs = jnp.where(keep, probs / (1.0 - self.dropout), 0.0)
+        out = jnp.einsum("sbhl,sblhd->sbhd", probs.astype(self.dtype), v)
+        out = out.reshape(NUM_SETS, b, c)
+
+        w_out = self.param("out_proj_kernel", xavier_uniform_init, (NUM_SETS, c, c), f32)
+        b_out = self.param("out_proj_bias", nn.initializers.zeros, (NUM_SETS, c), f32)
+        out = jnp.einsum("sbc,scd->sbd", out, w_out.astype(self.dtype)) + b_out.astype(
+            self.dtype
+        )[:, None, :]
+        return out  # (7, B, C)
+
+
+class ATMoE(nn.Module):
+    """`MoM` dense attention-gated MoE (reference: AttnMOE.py:85-121)."""
+
+    feat_dim: int
+    num_experts: int = 7
+    head: int = 12
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        feats: jnp.ndarray,  # (7, B, C) decoupled features
+        use_running_average: bool = True,
+    ) -> jnp.ndarray:
+        s, b, c = feats.shape
+        hd = self.head
+        d = c // hd
+        f32 = jnp.float32
+
+        # ---- attention gate (CrossAttention, reference: :50-68) -----------
+        query = jnp.concatenate([feats[i] for i in range(s)], axis=-1)  # (B, 7C)
+        x = TorchLinear(c, dtype=self.dtype, name="linear_re_fc")(query)
+        x = quick_gelu(x)
+        x = TorchBatchNorm(name="linear_re_bn")(x, use_running_average)
+        q = TorchLinear(c, use_bias=False, dtype=self.dtype, name="gate_q")(x)
+        key = jnp.swapaxes(feats, 0, 1)  # (B, 7, C)
+        k = TorchLinear(c, use_bias=False, dtype=self.dtype, name="gate_k")(key)
+        qh = q.reshape(b, hd, 1, d)
+        kh = k.reshape(b, s, hd, d).transpose(0, 2, 1, 3)  # (B, hd, 7, d)
+        attn = jnp.einsum("bhqd,bhsd->bhqs", qh, kh, preferred_element_type=f32)
+        gates = jax.nn.softmax(attn.astype(f32) * (d ** -0.5), axis=-1)  # (B, hd, 1, 7)
+
+        # ---- dense experts (ExpertHead/Expert, reference: :24-47) ---------
+        # chunk features along C into `head` slices; expert (i of 7) in head h
+        # processes chunk h of feature i.
+        xs = feats.transpose(1, 0, 2).reshape(b, s, hd, d)  # (B, 7, hd, d)
+        w = self.param(
+            "expert_kernel",
+            nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
+            (hd, s, d, d),
+            f32,
+        )
+        bias = self.param("expert_bias", nn.initializers.zeros, (hd, s, d), f32)
+        y = jnp.einsum("bshd,hsde->bshe", xs.astype(self.dtype), w.astype(self.dtype))
+        y = y + bias.astype(self.dtype)[None].transpose(0, 2, 1, 3)
+        y = quick_gelu(y)
+        # Per-(expert, head, channel) BatchNorm over the batch == one flat BN.
+        y = TorchBatchNorm(name="expert_bn")(
+            y.reshape(b, s * hd * d), use_running_average
+        ).reshape(b, s, hd, d)
+        # gate: (B, hd, 1, 7) -> weight expert s in head h by gates[b, h, 0, s]
+        gw = gates[:, :, 0, :].transpose(0, 2, 1)  # (B, 7, hd)
+        y = y * gw[..., None].astype(y.dtype)
+        # Reference concatenates per-head (B, 7, d) blocks along the last dim
+        # then flattens -> feature order (set-major, head, channel).
+        return y.reshape(b, s * hd * d)  # (B, 7C)
+
+
+class GeneralFusion(nn.Module):
+    """HDM -> ATMoE orchestration (reference: AttnMOE.py:124-225)."""
+
+    feat_dim: int
+    use_hdm: bool = True
+    use_atm: bool = True
+    num_experts: int = 7
+    head: int = 12
+    dropout: float = 0.1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        patches: jnp.ndarray,
+        globals_: jnp.ndarray,
+        deterministic: bool = True,
+        use_running_average: bool = True,
+    ) -> jnp.ndarray:
+        feats = HDM(self.feat_dim, dropout=self.dropout, dtype=self.dtype, name="hdm")(
+            patches, globals_, deterministic
+        )
+        if self.use_atm:
+            return ATMoE(
+                self.feat_dim,
+                num_experts=self.num_experts,
+                head=self.head,
+                dtype=self.dtype,
+                name="moe",
+            )(feats, use_running_average)
+        s, b, c = feats.shape
+        return feats.transpose(1, 0, 2).reshape(b, s * c)

@@ -1,0 +1,139 @@
+"""PIFE: Patch-Integrated Feature Extractor (backbone wrapper).
+
+Reference equivalent: `build_transformer` (modeling/meta_arch.py:32-103),
+which runs the backbone once per modality — three sequential passes
+(modeling/make_model.py:727-729).
+
+TPU-first redesign: the three modality streams are stacked on a leading axis
+and the backbone runs ONCE over a (3B, H, W, 3) batch, so every matmul is 3x
+bigger and the MXU stays busy.  The per-sample camera SIE gather is tiled
+across the modality axis.  Missing-modality simulation multiplies the input
+images by a per-modality mask inside the same jitted graph (replacing the
+reference's eval-time Python zeroing, modeling/make_model.py:718-724).
+
+Outputs: patch tokens (3, B, N, C) and global CLS features (3, B, C), where C
+is 512 for the CLIP backbone (projected) and 768 for the ImageNet ViT.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .clip_vit import CLIPVisionTransformer
+from .vit import ImageNetViT
+
+NUM_MODALITIES = 3  # RGB, NIR, TIR
+
+
+class PIFE(nn.Module):
+    transformer_type: str = "ViT-B-16"
+    img_size: Tuple[int, int] = (256, 128)
+    stride_size: Tuple[int, int] = (16, 16)
+    camera_num: int = 0
+    view_num: int = 0
+    sie_camera: bool = True
+    sie_view: bool = False
+    sie_coe: float = 3.0
+    drop_path: float = 0.1
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    dtype: Any = jnp.float32
+    attn_implementation: str = "xla"
+    remat: bool = False
+    # Size overrides (-1 = architecture default); used by tests/benchmarks.
+    depth_override: int = -1
+    width_override: int = -1
+    heads_override: int = -1
+
+    @property
+    def feat_dim(self) -> int:
+        return 512 if "ViT-B-16" in self.transformer_type else 768
+
+    @property
+    def patch_grid(self) -> Tuple[int, int]:
+        if "ViT-B-16" in self.transformer_type:
+            return (
+                self.img_size[0] // self.stride_size[0],
+                self.img_size[1] // self.stride_size[1],
+            )
+        num_y = (self.img_size[0] - 16) // self.stride_size[0] + 1
+        num_x = (self.img_size[1] - 16) // self.stride_size[1] + 1
+        return num_y, num_x
+
+    @nn.compact
+    def __call__(
+        self,
+        images: jnp.ndarray,  # (B, 3, H, W, 3): [batch, modality, H, W, chan]
+        cam_label: Optional[jnp.ndarray] = None,  # (B,) int32
+        view_label: Optional[jnp.ndarray] = None,
+        modality_mask: Optional[jnp.ndarray] = None,  # (3,) or (B, 3) float
+        deterministic: bool = True,
+    ):
+        b = images.shape[0]
+        m = NUM_MODALITIES
+        if modality_mask is not None:
+            mask = jnp.asarray(modality_mask, images.dtype)
+            if mask.ndim == 1:
+                mask = mask[None, :]
+            images = images * mask[:, :, None, None, None]
+
+        # (B, M, H, W, 3) -> (M*B, H, W, 3); modality-major so each stream is
+        # contiguous and per-modality splits are simple reshapes.
+        x = jnp.swapaxes(images, 0, 1).reshape(m * b, *images.shape[2:])
+        cams = None if cam_label is None else jnp.tile(cam_label, m)
+        views = None if view_label is None else jnp.tile(view_label, m)
+
+        if "ViT-B-16" in self.transformer_type:
+            gh, gw = self.patch_grid
+            cv_emb = None
+            if self.sie_camera and self.camera_num > 0:
+                # SIE embedding lives on the wrapper for the CLIP path
+                # (reference: meta_arch.py:75-86); added to CLS token only.
+                cv_embed = self.param(
+                    "cv_embed",
+                    nn.initializers.truncated_normal(1e-6),
+                    (self.camera_num, 768),
+                    jnp.float32,
+                )
+                cv_emb = self.sie_coe * cv_embed[cams]
+            width = 768 if self.width_override < 0 else self.width_override
+            depth = 12 if self.depth_override < 0 else self.depth_override
+            heads = (width // 64) if self.heads_override < 0 else self.heads_override
+            if cv_emb is not None and width != 768:
+                cv_emb = cv_emb[:, :width]
+            tokens = CLIPVisionTransformer(
+                h_resolution=gh,
+                w_resolution=gw,
+                stride_size=self.stride_size[0],
+                width=width,
+                layers=depth,
+                heads=heads,
+                dtype=self.dtype,
+                attn_implementation=self.attn_implementation,
+                remat=self.remat,
+                name="base",
+            )(x, cv_emb)
+        else:
+            tokens = ImageNetViT(
+                img_size=tuple(self.img_size),
+                stride_size=tuple(self.stride_size),
+                depth=12 if self.depth_override < 0 else self.depth_override,
+                camera=self.camera_num if self.sie_camera else 0,
+                view=self.view_num if self.sie_view else 0,
+                sie_xishu=self.sie_coe,
+                drop_path_rate=self.drop_path,
+                drop_rate=self.drop_rate,
+                attn_drop_rate=self.attn_drop_rate,
+                dtype=self.dtype,
+                attn_implementation=self.attn_implementation,
+                remat=self.remat,
+                name="base",
+            )(x, cams, views, deterministic=deterministic)
+
+        tokens = tokens.reshape(m, b, *tokens.shape[1:])  # (M, B, N+1, C)
+        global_feat = tokens[:, :, 0]  # (M, B, C)
+        patches = tokens[:, :, 1:]  # (M, B, N, C)
+        return patches, global_feat

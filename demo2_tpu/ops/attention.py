@@ -1,0 +1,138 @@
+"""Multi-head attention with torch `nn.MultiheadAttention` parameterization.
+
+One module serves every attention site in the framework: the CLIP/ViT
+backbone blocks (reference: modeling/clip/model.py:168-230,
+modeling/backbones/vit_pytorch.py:144-191), HDM's 7 cross-attention heads
+(modeling/moe/AttnMOE.py:143-149), DGAF-V3 attention pooling
+(modeling/dual_gated_fusion.py:610-615), and the FRCA cross-attention bridge
+(modeling/make_model.py:546-551).
+
+Parameters mirror torch's packed layout: one (C, 3C) `in_proj` kernel + (3C,)
+bias, plus an out-projection, so that PyTorch checkpoints map 1:1.
+
+TPU-first notes:
+  * softmax runs in fp32 regardless of the compute dtype;
+  * the self-attention hot path can route to the Pallas fused kernel
+    (`implementation='pallas'`), everything else uses an einsum path that XLA
+    fuses on the MXU;
+  * masks are additive biases broadcast over (B, H, S_q, S_k) so that HDM's
+    seven subset-attentions run as ONE masked attention call.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .linear import torch_linear_kernel_init, xavier_uniform_init
+
+
+def _xla_attention(q, k, v, scale, mask_bias, dropout_rate, deterministic, rng):
+    """(B, S, H, D) attention via einsum; fp32 softmax."""
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if mask_bias is not None:
+        logits = logits + mask_bias
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    if dropout_rate > 0.0 and not deterministic:
+        keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+    probs = probs.astype(v.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+def attention_core(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    scale: float,
+    mask_bias: Optional[jnp.ndarray] = None,
+    dropout_rate: float = 0.0,
+    deterministic: bool = True,
+    rng: Optional[jax.Array] = None,
+    implementation: str = "xla",
+) -> jnp.ndarray:
+    """Scaled dot-product attention on (B, S, H, D) tensors."""
+    if (
+        implementation == "pallas"
+        and mask_bias is None
+        and (dropout_rate == 0.0 or deterministic)
+    ):
+        from .flash_attention import flash_attention
+
+        return flash_attention(q, k, v, scale=scale)
+    return _xla_attention(q, k, v, scale, mask_bias, dropout_rate, deterministic, rng)
+
+
+class MultiHeadAttention(nn.Module):
+    """Torch-compatible MHA: packed qkv in-projection + out-projection."""
+
+    num_heads: int
+    dropout_rate: float = 0.0
+    use_bias: bool = True  # in_proj bias (torch default True)
+    out_bias: bool = True
+    implementation: str = "xla"
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,  # (B, S_q, C)
+        key: Optional[jnp.ndarray] = None,  # (B, S_k, C)
+        value: Optional[jnp.ndarray] = None,
+        *,
+        mask_bias: Optional[jnp.ndarray] = None,  # broadcastable to (B,H,Sq,Sk)
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        if key is None:
+            key = query
+        if value is None:
+            value = key
+        c = query.shape[-1]
+        h = self.num_heads
+        d = c // h
+        dtype = self.dtype or query.dtype
+
+        in_proj = self.param("in_proj_kernel", xavier_uniform_init, (c, 3 * c), jnp.float32)
+        wq, wk, wv = jnp.split(in_proj.astype(dtype), 3, axis=-1)
+        if self.use_bias:
+            in_bias = self.param("in_proj_bias", nn.initializers.zeros, (3 * c,), jnp.float32)
+            bq, bk, bv = jnp.split(in_bias.astype(dtype), 3)
+        else:
+            bq = bk = bv = 0.0
+
+        q = (query.astype(dtype) @ wq + bq).reshape(*query.shape[:-1], h, d)
+        k = (key.astype(dtype) @ wk + bk).reshape(*key.shape[:-1], h, d)
+        v = (value.astype(dtype) @ wv + bv).reshape(*value.shape[:-1], h, d)
+
+        rng = None
+        if self.dropout_rate > 0.0 and not deterministic:
+            rng = self.make_rng("dropout")
+
+        out = attention_core(
+            q,
+            k,
+            v,
+            scale=1.0 / (d ** 0.5),
+            mask_bias=mask_bias,
+            dropout_rate=self.dropout_rate,
+            deterministic=deterministic,
+            rng=rng,
+            implementation=self.implementation,
+        )
+        out = out.reshape(*query.shape[:-1], c)
+        out = nn.Dense(
+            c,
+            use_bias=self.out_bias,
+            kernel_init=torch_linear_kernel_init,
+            bias_init=nn.initializers.zeros,
+            dtype=dtype,
+            param_dtype=jnp.float32,
+            name="out_proj",
+        )(out)
+        return out

@@ -1,0 +1,163 @@
+"""Optimizer + LR schedule factory (optax).
+
+Reference: solver/make_optimizer.py:4-28 (per-param weight-decay override for
+bias keys, optional 2x classifier LR, SGD/Adam/AdamW), solver/lr_scheduler.py
+(WarmupMultiStepLR :14-73, WarmupLinearLR :76-157), scheduler_factory.py:7-17
+(always returns the warmup-multistep scheduler, stepped once per EPOCH at
+engine/processor.py:54 with `scheduler.step(epoch)`, epoch starting at 1).
+
+Torch-parity notes:
+  * Adam/SGD weight decay is L2-added-to-gradient (not decoupled), so the
+    decay transform runs BEFORE the moment updates; AdamW is decoupled;
+  * the schedule is epoch-granular: lr(step) = lr_at_epoch(1 + step //
+    steps_per_epoch), matching the reference's step(epoch)-at-epoch-start.
+"""
+
+from __future__ import annotations
+
+import bisect
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config.defaults import Config
+
+
+def warmup_multistep_lr(
+    base_lr: float,
+    milestones: Sequence[int],
+    gamma: float = 0.1,
+    warmup_factor: float = 0.01,
+    warmup_iters: int = 10,
+    warmup_method: str = "linear",
+) -> Callable[[int], float]:
+    """lr(epoch) per WarmupMultiStepLR.get_lr (lr_scheduler.py:43-56)."""
+    ms = sorted(milestones)
+
+    def lr_at(epoch: int) -> float:
+        wf = 1.0
+        if epoch < warmup_iters:
+            if warmup_method == "constant":
+                wf = warmup_factor
+            else:
+                alpha = epoch / warmup_iters
+                wf = warmup_factor * (1 - alpha) + alpha
+        return base_lr * wf * gamma ** bisect.bisect_right(ms, epoch)
+
+    return lr_at
+
+
+def warmup_linear_lr(
+    base_lr: float,
+    max_epochs: int,
+    warmup_factor: float = 0.01,
+    warmup_iters: int = 0,
+    warmup_method: str = "linear",
+    min_lr: float = 0.0,
+) -> Callable[[int], float]:
+    """lr(epoch) per WarmupLinearLR (lr_scheduler.py:76-157)."""
+
+    def lr_at(epoch: int) -> float:
+        wf = 1.0
+        if epoch < warmup_iters:
+            if warmup_method == "constant":
+                wf = warmup_factor
+            else:
+                alpha = epoch / float(warmup_iters)
+                wf = warmup_factor * (1 - alpha) + alpha
+        if epoch <= warmup_iters:
+            decay = 1.0
+        else:
+            eff = max_epochs - warmup_iters
+            if eff <= 1:
+                decay = 0.0
+            else:
+                decay = max(1.0 - (epoch - warmup_iters - 1) / float(eff - 1), 0.0)
+        return max(min_lr, base_lr * wf * decay)
+
+    return lr_at
+
+
+def make_lr_schedule(cfg: Config, steps_per_epoch: int) -> Callable[[Any], Any]:
+    """Step-indexed schedule delegating to the epoch-granular rule.
+
+    The reference's `create_scheduler` ALWAYS returns WarmupMultiStepLR
+    regardless of SOLVER.LR_SCHEDULER (scheduler_factory.py:7-17; the cosine
+    block is commented out) — mirrored here.
+    """
+    lr_at = warmup_multistep_lr(
+        cfg.SOLVER.BASE_LR,
+        cfg.SOLVER.STEPS,
+        cfg.SOLVER.GAMMA,
+        cfg.SOLVER.WARMUP_FACTOR,
+        cfg.SOLVER.WARMUP_ITERS,
+        cfg.SOLVER.WARMUP_METHOD,
+    )
+    # Precompute a dense epoch->lr table so the schedule works on traced steps.
+    max_epochs = cfg.SOLVER.MAX_EPOCHS + 2
+    table = jnp.asarray([lr_at(e) for e in range(max_epochs)], jnp.float32)
+
+    def schedule(step):
+        epoch = jnp.minimum(1 + step // steps_per_epoch, max_epochs - 1)
+        return table[epoch]
+
+    return schedule
+
+
+def _is_bias(path) -> bool:
+    return any("bias" in str(k).lower() for k in path[-1:])
+
+
+def make_optimizer(cfg: Config, params, steps_per_epoch: int):
+    """Build the optax chain for model params (+ the center-loss SGD).
+
+    Mirrors make_optimizer.py: bias keys use WEIGHT_DECAY_BIAS, classifier
+    keys optionally get 2x LR (LARGE_FC_LR), optimizer selected by
+    SOLVER.OPTIMIZER_NAME.
+    """
+    schedule = make_lr_schedule(cfg, steps_per_epoch)
+    wd = cfg.SOLVER.WEIGHT_DECAY
+    wd_bias = cfg.SOLVER.WEIGHT_DECAY_BIAS
+    name = cfg.SOLVER.OPTIMIZER_NAME
+
+    bias_mask = jax.tree_util.tree_map_with_path(lambda p, _: _is_bias(p), params)
+    nonbias_mask = jax.tree_util.tree_map(lambda b: not b, bias_mask)
+
+    def classifier_scale():
+        if not cfg.SOLVER.LARGE_FC_LR:
+            return optax.identity()
+        cls_mask = jax.tree_util.tree_map_with_path(
+            lambda p, _: any("classifier" in str(k).lower() for k in p), params
+        )
+        return optax.masked(optax.scale(2.0), cls_mask)
+
+    if name == "AdamW":
+        tx = optax.chain(
+            optax.scale_by_adam(),
+            optax.add_decayed_weights(wd),  # decoupled
+            classifier_scale(),
+            optax.scale_by_schedule(lambda s: -schedule(s)),
+        )
+    elif name == "Adam":
+        tx = optax.chain(
+            optax.masked(optax.add_decayed_weights(wd), nonbias_mask),
+            optax.masked(optax.add_decayed_weights(wd_bias), bias_mask),
+            optax.scale_by_adam(),
+            classifier_scale(),
+            optax.scale_by_schedule(lambda s: -schedule(s)),
+        )
+    elif name == "SGD":
+        tx = optax.chain(
+            optax.masked(optax.add_decayed_weights(wd), nonbias_mask),
+            optax.masked(optax.add_decayed_weights(wd_bias), bias_mask),
+            optax.trace(decay=cfg.SOLVER.MOMENTUM),
+            classifier_scale(),
+            optax.scale_by_schedule(lambda s: -schedule(s)),
+        )
+    else:
+        raise ValueError(f"Unsupported optimizer: {name}")
+
+    center_tx = optax.sgd(cfg.SOLVER.CENTER_LR)
+    return tx, center_tx, schedule

@@ -1,0 +1,214 @@
+"""Re-ID evaluation: CMC / mAP, market1501 + MSVR310 protocols.
+
+Reference: utils/metrics.py — `eval_func` (market1501 protocol, same-pid+
+same-cam gallery removal, :110-169), `eval_func_msrv` (MSVR310 protocol,
+same-pid+same-SCENE removal, :12-108), evaluators `R1_mAP_eval` (:221-369)
+and `R1_mAP` (:172-218).
+
+TPU-first: the reference computes the distance matrix and a per-query Python
+CMC loop on CPU/numpy (hot loop, SURVEY §3.5).  Here the whole evaluation —
+distmat (one GEMM), ranking, protocol filtering, CMC and AP — is a fully
+vectorized jnp computation: per-query variable-length "kept" lists become
+cumulative-position arithmetic over masks.  A faithful numpy port is kept for
+golden-value testing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# --------------------------------------------------------------------------
+# numpy reference implementations (golden tests / host fallback)
+# --------------------------------------------------------------------------
+
+def eval_func_np(distmat, q_pids, g_pids, q_camids, g_camids, max_rank=50):
+    """Market1501 protocol, faithful port of reference eval_func :110-169."""
+    num_q, num_g = distmat.shape
+    if num_g < max_rank:
+        max_rank = num_g
+    indices = np.argsort(distmat, axis=1)
+    matches = (g_pids[indices] == q_pids[:, np.newaxis]).astype(np.int32)
+    all_cmc, all_ap = [], []
+    num_valid_q = 0.0
+    for qi in range(num_q):
+        order = indices[qi]
+        remove = (g_pids[order] == q_pids[qi]) & (g_camids[order] == q_camids[qi])
+        keep = ~remove
+        orig_cmc = matches[qi][keep]
+        if not np.any(orig_cmc):
+            continue
+        cmc = orig_cmc.cumsum()
+        cmc[cmc > 1] = 1
+        all_cmc.append(cmc[:max_rank])
+        num_valid_q += 1.0
+        num_rel = orig_cmc.sum()
+        tmp = orig_cmc.cumsum() / np.arange(1, orig_cmc.shape[0] + 1)
+        all_ap.append((tmp * orig_cmc).sum() / num_rel)
+    assert num_valid_q > 0, "all query identities do not appear in gallery"
+    all_cmc = np.asarray(all_cmc, np.float32).sum(0) / num_valid_q
+    return all_cmc, float(np.mean(all_ap))
+
+
+def eval_func_msvr_np(
+    distmat, q_pids, g_pids, q_camids, g_camids, q_sceneids, g_sceneids, max_rank=50
+):
+    """MSVR310 protocol (same-pid + same-scene removal), ref :12-108."""
+    num_q, num_g = distmat.shape
+    if num_g < max_rank:
+        max_rank = num_g
+    indices = np.argsort(distmat, axis=1)
+    matches = (g_pids[indices] == q_pids[:, np.newaxis]).astype(np.int32)
+    all_cmc, all_ap = [], []
+    num_valid_q = 0.0
+    for qi in range(num_q):
+        order = indices[qi]
+        remove = (g_pids[order] == q_pids[qi]) & (g_sceneids[order] == q_sceneids[qi])
+        keep = ~remove
+        orig_cmc = matches[qi][keep]
+        if not np.any(orig_cmc):
+            continue
+        cmc = orig_cmc.cumsum()
+        cmc[cmc > 1] = 1
+        all_cmc.append(cmc[:max_rank])
+        num_valid_q += 1.0
+        num_rel = orig_cmc.sum()
+        tmp = orig_cmc.cumsum() / np.arange(1, orig_cmc.shape[0] + 1)
+        all_ap.append((tmp * orig_cmc).sum() / num_rel)
+    assert num_valid_q > 0
+    all_cmc = np.asarray(all_cmc, np.float32).sum(0) / num_valid_q
+    return all_cmc, float(np.mean(all_ap))
+
+
+# --------------------------------------------------------------------------
+# on-device vectorized evaluation
+# --------------------------------------------------------------------------
+
+def euclidean_distance(qf: jnp.ndarray, gf: jnp.ndarray) -> jnp.ndarray:
+    """Squared-expanded euclidean distmat (reference: metrics.py:395-401)."""
+    qf = qf.astype(jnp.float32)
+    gf = gf.astype(jnp.float32)
+    qq = jnp.sum(jnp.square(qf), axis=1, keepdims=True)
+    gg = jnp.sum(jnp.square(gf), axis=1, keepdims=True).T
+    return qq + gg - 2.0 * qf @ gf.T
+
+
+def cmc_map_device(
+    distmat: jnp.ndarray,
+    q_pids: jnp.ndarray,
+    g_pids: jnp.ndarray,
+    q_filter_ids: jnp.ndarray,
+    g_filter_ids: jnp.ndarray,
+    max_rank: int = 50,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Vectorized CMC/mAP.
+
+    `q_filter_ids`/`g_filter_ids` are camera ids for the market1501 protocol
+    or scene ids for MSVR310 — gallery entries with same pid AND same filter
+    id as the query are discarded, exactly as in the reference loops.
+    """
+    num_g = distmat.shape[1]
+    max_rank = min(max_rank, num_g)
+    order = jnp.argsort(distmat, axis=1)  # (Q, G)
+    g_pids_s = g_pids[order]
+    g_filt_s = g_filter_ids[order]
+    matches = g_pids_s == q_pids[:, None]
+    remove = matches & (g_filt_s == q_filter_ids[:, None])
+    keep = ~remove
+
+    kept_pos = jnp.cumsum(keep, axis=1)  # 1-based position among kept
+    mk = matches & keep  # kept matches, sorted order
+    valid = jnp.any(mk, axis=1)
+    num_valid = jnp.sum(valid.astype(jnp.float32))
+
+    # CMC: hit at rank r iff the first kept-match position <= r.
+    first_pos = jnp.min(jnp.where(mk, kept_pos, num_g + 1), axis=1)  # (Q,)
+    ranks = jnp.arange(1, max_rank + 1)
+    cmc_hits = (first_pos[:, None] <= ranks[None, :]) & valid[:, None]
+    cmc = jnp.sum(cmc_hits.astype(jnp.float32), axis=0) / jnp.maximum(num_valid, 1)
+
+    # AP: mean precision at each kept match position.
+    cum_matches = jnp.cumsum(mk, axis=1)
+    prec = jnp.where(mk, cum_matches / jnp.maximum(kept_pos, 1), 0.0)
+    num_rel = jnp.sum(mk, axis=1)
+    ap = jnp.sum(prec, axis=1) / jnp.maximum(num_rel, 1)
+    mean_ap = jnp.sum(jnp.where(valid, ap, 0.0)) / jnp.maximum(num_valid, 1)
+    return cmc, mean_ap
+
+
+@dataclasses.dataclass
+class R1mAPEvaluator:
+    """Feature accumulator + on-device compute.
+
+    Mirrors the reset/update/compute protocol of R1_mAP_eval
+    (reference: metrics.py:221-369) and R1_mAP for MSVR310 (:172-218).
+    """
+
+    num_query: int
+    max_rank: int = 50
+    feat_norm: bool = True
+    reranking: bool = False
+    scene_protocol: bool = False  # MSVR310: filter by scene instead of cam
+
+    def __post_init__(self):
+        self.reset()
+
+    def reset(self):
+        self.feats: List[np.ndarray] = []
+        self.pids: List[np.ndarray] = []
+        self.camids: List[np.ndarray] = []
+        self.sceneids: List[np.ndarray] = []
+
+    def update(self, feat, pid, camid, sceneid=None):
+        self.feats.append(np.asarray(feat))
+        self.pids.append(np.asarray(pid))
+        self.camids.append(np.asarray(camid))
+        if sceneid is not None:
+            self.sceneids.append(np.asarray(sceneid))
+
+    def compute(self, on_device: bool = True):
+        feats = np.concatenate(self.feats, axis=0)
+        pids = np.concatenate(self.pids)
+        camids = np.concatenate(self.camids)
+        scenes = np.concatenate(self.sceneids) if self.sceneids else None
+
+        f = jnp.asarray(feats)
+        if self.feat_norm:
+            f = f / jnp.maximum(jnp.linalg.norm(f, axis=1, keepdims=True), 1e-12)
+        nq = self.num_query
+        qf, gf = f[:nq], f[nq:]
+
+        if self.reranking:
+            from .reranking import re_ranking_np
+
+            distmat = re_ranking_np(
+                np.asarray(qf), np.asarray(gf), k1=50, k2=15, lambda_value=0.3
+            )
+        else:
+            distmat = euclidean_distance(qf, gf)
+
+        filt = scenes if self.scene_protocol else camids
+        if on_device:
+            cmc, mAP = cmc_map_device(
+                jnp.asarray(distmat),
+                jnp.asarray(pids[:nq]),
+                jnp.asarray(pids[nq:]),
+                jnp.asarray(filt[:nq]),
+                jnp.asarray(filt[nq:]),
+                self.max_rank,
+            )
+            return np.asarray(cmc), float(mAP)
+        if self.scene_protocol:
+            return eval_func_msvr_np(
+                np.asarray(distmat), pids[:nq], pids[nq:], camids[:nq], camids[nq:],
+                scenes[:nq], scenes[nq:], self.max_rank,
+            )
+        return eval_func_np(
+            np.asarray(distmat), pids[:nq], pids[nq:], camids[:nq], camids[nq:],
+            self.max_rank,
+        )

@@ -1,0 +1,62 @@
+import pytest
+
+from demo2_tpu.config import get_cfg_defaults
+
+
+def test_defaults_match_reference_knobs():
+    cfg = get_cfg_defaults()
+    assert cfg.MODEL.ARCH == "DeMo"
+    assert cfg.MODEL.USE_FRCA is None  # tri-state default
+    assert cfg.MODEL.SDTPS_LOSS_WEIGHT == 2.0
+    assert cfg.SOLVER.STEPS == (40, 70)
+    assert cfg.TEST.MISS == "None"
+    assert cfg.INPUT.SIZE_TRAIN == (256, 128)
+
+
+def test_merge_from_list_and_freeze():
+    cfg = get_cfg_defaults()
+    cfg.merge_from_list(["MODEL.USE_SDTPS", "True", "SOLVER.BASE_LR", "0.00035"])
+    assert cfg.MODEL.USE_SDTPS is True
+    assert cfg.SOLVER.BASE_LR == 0.00035
+    cfg.merge_from_list(["MODEL.USE_FRCA", "False"])
+    assert cfg.MODEL.USE_FRCA is False
+    cfg.freeze()
+    with pytest.raises(AttributeError):
+        cfg.MODEL.USE_SDTPS = False
+
+
+def test_merge_reference_yaml(tmp_path):
+    # A reference-style YAML (subset of configs/RGBNT201/DeMo.yml knobs).
+    y = tmp_path / "demo.yml"
+    y.write_text(
+        """
+MODEL:
+  TRANSFORMER_TYPE: 'ViT-B-16'
+  STRIDE_SIZE: [16, 16]
+  SIE_CAMERA: True
+  DIRECT: 1
+  HDM: True
+  ATM: True
+  USE_SDTPS: False
+INPUT:
+  SIZE_TRAIN: [256, 128]
+SOLVER:
+  OPTIMIZER_NAME: 'Adam'
+  BASE_LR: 0.00035
+  IMS_PER_BATCH: 64
+"""
+    )
+    cfg = get_cfg_defaults()
+    cfg.merge_from_file(str(y))
+    assert cfg.MODEL.TRANSFORMER_TYPE == "ViT-B-16"
+    assert cfg.MODEL.STRIDE_SIZE == (16, 16)
+    assert cfg.MODEL.HDM and cfg.MODEL.ATM
+    assert cfg.SOLVER.IMS_PER_BATCH == 64
+
+
+def test_unknown_key_raises(tmp_path):
+    y = tmp_path / "bad.yml"
+    y.write_text("MODEL:\n  NOT_A_KEY: 1\n")
+    cfg = get_cfg_defaults()
+    with pytest.raises(KeyError):
+        cfg.merge_from_file(str(y))

@@ -1,0 +1,75 @@
+"""Loss parity vs torch formulations."""
+
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from demo2_tpu.losses import (
+    batch_hard_triplet_loss,
+    cross_entropy_label_smooth,
+    euclidean_dist,
+)
+
+
+def test_label_smooth_matches_torch_formula():
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(8, 5)).astype(np.float32)
+    labels = rng.integers(0, 5, 8)
+    eps = 0.1
+    t = torch.from_numpy(logits)
+    logp = torch.nn.functional.log_softmax(t, dim=1)
+    onehot = torch.zeros_like(logp).scatter_(1, torch.from_numpy(labels)[:, None], 1)
+    targets = (1 - eps) * onehot + eps / 5
+    ref = (-targets * logp).sum(1).mean().item()
+    out = float(cross_entropy_label_smooth(jnp.asarray(logits), jnp.asarray(labels)))
+    np.testing.assert_allclose(out, ref, rtol=1e-5)
+
+
+def _torch_batch_hard(feat, labels, margin=None):
+    """Torch reference for batch-hard soft-margin triplet (triplet_loss.py)."""
+    t = torch.from_numpy(feat)
+    n = t.shape[0]
+    xx = t.pow(2).sum(1, keepdim=True).expand(n, n)
+    dist = (xx + xx.t() - 2 * t @ t.t()).clamp(min=1e-12).sqrt()
+    labels_t = torch.from_numpy(labels)
+    is_pos = labels_t.expand(n, n).eq(labels_t.expand(n, n).t())
+    dist_ap = torch.stack([dist[i][is_pos[i]].max() for i in range(n)])
+    dist_an = torch.stack([dist[i][~is_pos[i]].min() for i in range(n)])
+    y = torch.ones_like(dist_an)
+    if margin is not None:
+        return torch.nn.functional.margin_ranking_loss(
+            dist_an, dist_ap, y, margin=margin
+        ).item()
+    return torch.nn.functional.soft_margin_loss(dist_an - dist_ap, y).item()
+
+
+def test_batch_hard_triplet_soft_margin():
+    rng = np.random.default_rng(1)
+    feat = rng.normal(size=(16, 32)).astype(np.float32)
+    labels = np.repeat(np.arange(4), 4)  # PK structure
+    ref = _torch_batch_hard(feat, labels)
+    out = float(batch_hard_triplet_loss(jnp.asarray(feat), jnp.asarray(labels)))
+    np.testing.assert_allclose(out, ref, rtol=1e-4)
+
+
+def test_batch_hard_triplet_margin():
+    rng = np.random.default_rng(2)
+    feat = rng.normal(size=(12, 16)).astype(np.float32)
+    labels = np.repeat(np.arange(3), 4)
+    ref = _torch_batch_hard(feat, labels, margin=0.3)
+    out = float(
+        batch_hard_triplet_loss(jnp.asarray(feat), jnp.asarray(labels), margin=0.3)
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-4)
+
+
+def test_euclidean_dist_matches_torch():
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(6, 8)).astype(np.float32)
+    d = np.asarray(euclidean_dist(jnp.asarray(x), jnp.asarray(x)))
+    t = torch.from_numpy(x)
+    xx = t.pow(2).sum(1, keepdim=True).expand(6, 6)
+    ref = (xx + xx.t() - 2 * t @ t.t()).clamp(min=1e-12).sqrt().numpy()
+    # Diagonal entries are sqrt(clamp(~0)) — dominated by fp noise; compare
+    # with an absolute tolerance there.
+    np.testing.assert_allclose(d, ref, rtol=1e-3, atol=1e-3)

@@ -1,0 +1,78 @@
+"""On-device CMC/mAP and re-ranking vs reference-faithful numpy ports."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from demo2_tpu.utils.metrics import (
+    cmc_map_device,
+    eval_func_msvr_np,
+    eval_func_np,
+    euclidean_distance,
+)
+from demo2_tpu.utils.reranking import re_ranking_device, re_ranking_np
+
+
+def _random_eval_problem(seed, num_q=20, num_g=60, num_pids=8, num_cams=4):
+    rng = np.random.default_rng(seed)
+    distmat = rng.uniform(size=(num_q, num_g)).astype(np.float32)
+    q_pids = rng.integers(0, num_pids, num_q)
+    g_pids = rng.integers(0, num_pids, num_g)
+    q_cams = rng.integers(0, num_cams, num_q)
+    g_cams = rng.integers(0, num_cams, num_g)
+    return distmat, q_pids, g_pids, q_cams, g_cams
+
+
+def test_cmc_map_device_matches_numpy_market_protocol():
+    for seed in range(5):
+        distmat, q_pids, g_pids, q_cams, g_cams = _random_eval_problem(seed)
+        ref_cmc, ref_map = eval_func_np(distmat, q_pids, g_pids, q_cams, g_cams)
+        cmc, mAP = cmc_map_device(
+            jnp.asarray(distmat), jnp.asarray(q_pids), jnp.asarray(g_pids),
+            jnp.asarray(q_cams), jnp.asarray(g_cams),
+        )
+        n = len(ref_cmc)
+        np.testing.assert_allclose(np.asarray(cmc)[:n], ref_cmc, atol=1e-5)
+        np.testing.assert_allclose(float(mAP), ref_map, atol=1e-5)
+
+
+def test_cmc_map_device_matches_numpy_scene_protocol():
+    rng = np.random.default_rng(7)
+    distmat, q_pids, g_pids, q_cams, g_cams = _random_eval_problem(11)
+    q_sc = rng.integers(0, 3, len(q_pids))
+    g_sc = rng.integers(0, 3, len(g_pids))
+    ref_cmc, ref_map = eval_func_msvr_np(
+        distmat, q_pids, g_pids, q_cams, g_cams, q_sc, g_sc
+    )
+    cmc, mAP = cmc_map_device(
+        jnp.asarray(distmat), jnp.asarray(q_pids), jnp.asarray(g_pids),
+        jnp.asarray(q_sc), jnp.asarray(g_sc),
+    )
+    n = len(ref_cmc)
+    np.testing.assert_allclose(np.asarray(cmc)[:n], ref_cmc, atol=1e-5)
+    np.testing.assert_allclose(float(mAP), ref_map, atol=1e-5)
+
+
+def test_euclidean_distance():
+    rng = np.random.default_rng(0)
+    q = rng.normal(size=(5, 8)).astype(np.float32)
+    g = rng.normal(size=(7, 8)).astype(np.float32)
+    d = np.asarray(euclidean_distance(jnp.asarray(q), jnp.asarray(g)))
+    ref = ((q[:, None] - g[None]) ** 2).sum(-1)
+    np.testing.assert_allclose(d, ref, atol=1e-4)
+
+
+def test_reranking_device_matches_numpy():
+    rng = np.random.default_rng(3)
+    qf = rng.normal(size=(12, 16)).astype(np.float32)
+    gf = rng.normal(size=(30, 16)).astype(np.float32)
+    qf /= np.linalg.norm(qf, axis=1, keepdims=True)
+    gf /= np.linalg.norm(gf, axis=1, keepdims=True)
+    ref = re_ranking_np(qf, gf, k1=8, k2=3, lambda_value=0.3)
+    dev = np.asarray(
+        re_ranking_device(jnp.asarray(qf), jnp.asarray(gf), k1=8, k2=3, lambda_value=0.3)
+    )
+    # fp16 accumulation in the reference vs fp32 on device: loose tolerance,
+    # but the RANKING must agree.
+    np.testing.assert_allclose(dev, ref.astype(np.float32), atol=2e-3)
+    for i in range(ref.shape[0]):
+        np.testing.assert_array_equal(np.argsort(dev[i])[:5], np.argsort(ref[i])[:5])

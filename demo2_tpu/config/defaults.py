@@ -237,6 +237,8 @@ class TPUConfig:
     BACKBONE_DEPTH: int = -1
     BACKBONE_WIDTH: int = -1
     BACKBONE_HEADS: int = -1
+    # LoRA rank used when MODEL.FROZEN freezes the backbone.
+    LORA_RANK: int = 4
 
 
 @_node

@@ -27,6 +27,7 @@ logger = logging.getLogger("DeMo")
 
 MISS_MASKS = {
     "None": (1.0, 1.0, 1.0),
+    "nothing": (1.0, 1.0, 1.0),  # alias used by reference YAMLs
     "r": (0.0, 1.0, 1.0),
     "n": (1.0, 0.0, 1.0),
     "t": (1.0, 1.0, 0.0),

@@ -38,7 +38,11 @@ def create_train_state(
     cams = jnp.asarray(sample_batch.camids)
     views = jnp.asarray(sample_batch.viewids)
     init_rngs = {"params": rng, "dropout": rng, "gumbel": rng}
-    variables = model.init(init_rngs, images, cams, views, train=False)
+    # jit the init: un-jitted tracing dispatches hundreds of individual ops,
+    # which is pathologically slow through a remote-compile TPU path.
+    variables = jax.jit(
+        lambda r, im, cm, vw: model.init(r, im, cm, vw, train=False)
+    )(init_rngs, images, cams, views)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
 

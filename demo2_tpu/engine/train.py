@@ -144,6 +144,8 @@ def do_train(
     epochs = cfg.SOLVER.MAX_EPOCHS
     log_period = cfg.SOLVER.LOG_PERIOD
     eval_period = cfg.SOLVER.EVAL_PERIOD
+    ckpt_period = cfg.SOLVER.CHECKPOINT_PERIOD  # periodic save + resume — the
+    # reference defines this knob but never implements it (SURVEY §5)
 
     if mesh is None:
         mesh = make_mesh(cfg.TPU.NUM_DEVICES)
@@ -156,7 +158,11 @@ def do_train(
     use_moe_eval = cfg.MODEL.HDM or cfg.MODEL.ATM or cfg.MODEL.USE_SDTPS
     best = {"mAP": 0.0, "Rank-1": 0.0, "Rank-5": 0.0, "Rank-10": 0.0}
 
-    for epoch in range(1, epochs + 1):
+    # Resume: steps already taken determine the starting epoch.
+    steps_per_epoch = max(1, len(sampler) // train_pipe.batch_size)
+    start_epoch = 1 + int(state.step) // steps_per_epoch
+
+    for epoch in range(start_epoch, epochs + 1):
         t0 = time.time()
         losses, accs, n_iter = [], [], 0
         order = sampler.epoch_indices(epoch)
@@ -192,6 +198,10 @@ def do_train(
                 epoch, dt, train_pipe.batch_size / dt,
             )
 
+        if checkpoint_dir and ckpt_period and epoch % ckpt_period == 0:
+            save_checkpoint(checkpoint_dir, state, step=int(state.step),
+                            name=exp_name or cfg.MODEL.NAME)
+
         if epoch % eval_period == 0 and val_pipe is not None:
             patterns = (1, 2, 3) if use_moe_eval and (cfg.MODEL.HDM or cfg.MODEL.ATM) else (3,)
             for pat in patterns[:-1]:
@@ -209,7 +219,10 @@ def do_train(
                      "Rank-10": cmc[9] if len(cmc) > 9 else 0.0}
                 )
                 if checkpoint_dir:
-                    save_checkpoint(checkpoint_dir, state, step=int(state.step),
+                    # Best-mAP checkpoint in its own dir so periodic saves
+                    # can't evict it (reference keeps best-only, :157-168).
+                    save_checkpoint(checkpoint_dir + "_best", state,
+                                    step=int(state.step),
                                     name=exp_name or cfg.MODEL.NAME)
             if writer is not None:
                 writer.add_scalar("Val/mAP", mAP, epoch)

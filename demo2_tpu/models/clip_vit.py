@@ -60,6 +60,7 @@ class ResidualAttentionBlock(nn.Module):
     heads: int
     dtype: Any = jnp.float32
     attn_implementation: str = "xla"
+    lora_rank: int = 0
 
     @nn.compact
     def __call__(self, x):
@@ -68,6 +69,7 @@ class ResidualAttentionBlock(nn.Module):
             num_heads=self.heads,
             dtype=self.dtype,
             implementation=self.attn_implementation,
+            lora_rank=self.lora_rank,
             name="attn",
         )(y)
         x = x + y
@@ -88,6 +90,7 @@ class CLIPVisionTransformer(nn.Module):
     dtype: Any = jnp.float32
     attn_implementation: str = "xla"
     remat: bool = False
+    lora_rank: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, cv_emb: Optional[jnp.ndarray] = None):
@@ -132,6 +135,7 @@ class CLIPVisionTransformer(nn.Module):
                 self.heads,
                 dtype=self.dtype,
                 attn_implementation=self.attn_implementation,
+                lora_rank=self.lora_rank,
                 name=f"resblocks_{i}",
             )(x)
 

@@ -91,6 +91,7 @@ class _DeMoBase(nn.Module):
             depth_override=cfg.TPU.BACKBONE_DEPTH,
             width_override=cfg.TPU.BACKBONE_WIDTH,
             heads_override=cfg.TPU.BACKBONE_HEADS,
+            lora_rank=cfg.TPU.LORA_RANK if cfg.MODEL.FROZEN else 0,
             name="backbone",
         )
 

@@ -47,6 +47,8 @@ class PIFE(nn.Module):
     depth_override: int = -1
     width_override: int = -1
     heads_override: int = -1
+    # LoRA rank for the frozen-backbone fine-tuning path (MODEL.FROZEN).
+    lora_rank: int = 0
 
     @property
     def feat_dim(self) -> int:
@@ -114,6 +116,7 @@ class PIFE(nn.Module):
                 dtype=self.dtype,
                 attn_implementation=self.attn_implementation,
                 remat=self.remat,
+                lora_rank=self.lora_rank,
                 name="base",
             )(x, cv_emb)
         else:

@@ -78,6 +78,11 @@ class MultiHeadAttention(nn.Module):
     out_bias: bool = True
     implementation: str = "xla"
     dtype: Optional[Any] = None
+    # LoRA adapters on the packed qkv projection (reference: the CLIP LoRA
+    # fine-tuning path behind MODEL.FROZEN, modeling/clip/LoRA.py +
+    # meta_arch.py:61-62,72-73).  0 disables.
+    lora_rank: int = 0
+    lora_alpha: float = 1.0
 
     @nn.compact
     def __call__(
@@ -99,6 +104,17 @@ class MultiHeadAttention(nn.Module):
         dtype = self.dtype or query.dtype
 
         in_proj = self.param("in_proj_kernel", xavier_uniform_init, (c, 3 * c), jnp.float32)
+        if self.lora_rank > 0:
+            lora_a = self.param(
+                "lora_a",
+                nn.initializers.normal(1.0 / self.lora_rank),
+                (c, self.lora_rank),
+                jnp.float32,
+            )
+            lora_b = self.param(
+                "lora_b", nn.initializers.zeros, (self.lora_rank, 3 * c), jnp.float32
+            )
+            in_proj = in_proj + self.lora_alpha * (lora_a @ lora_b)
         wq, wk, wv = jnp.split(in_proj.astype(dtype), 3, axis=-1)
         if self.use_bias:
             in_bias = self.param("in_proj_bias", nn.initializers.zeros, (3 * c,), jnp.float32)

@@ -106,8 +106,12 @@ def make_lr_schedule(cfg: Config, steps_per_epoch: int) -> Callable[[Any], Any]:
     return schedule
 
 
+def _key_str(k) -> str:
+    return str(getattr(k, "key", getattr(k, "name", k))).lower()
+
+
 def _is_bias(path) -> bool:
-    return any("bias" in str(k).lower() for k in path[-1:])
+    return any("bias" in _key_str(k) for k in path[-1:])
 
 
 def make_optimizer(cfg: Config, params, steps_per_epoch: int):
@@ -129,7 +133,7 @@ def make_optimizer(cfg: Config, params, steps_per_epoch: int):
         if not cfg.SOLVER.LARGE_FC_LR:
             return optax.identity()
         cls_mask = jax.tree_util.tree_map_with_path(
-            lambda p, _: any("classifier" in str(k).lower() for k in p), params
+            lambda p, _: any("classifier" in _key_str(k) for k in p), params
         )
         return optax.masked(optax.scale(2.0), cls_mask)
 
@@ -158,6 +162,18 @@ def make_optimizer(cfg: Config, params, steps_per_epoch: int):
         )
     else:
         raise ValueError(f"Unsupported optimizer: {name}")
+
+    if cfg.MODEL.FROZEN:
+        # `mark_only_lora_as_trainable` equivalent (reference: clip/LoRA.py,
+        # meta_arch.py:61-62): zero updates for backbone params except LoRA.
+        def _frozen(path, _):
+            keys = [_key_str(k) for k in path]
+            in_backbone = len(keys) >= 2 and keys[0] == "backbone" and keys[1] == "base"
+            has_lora = any("lora" in k for k in keys)
+            return in_backbone and not has_lora
+
+        frozen_mask = jax.tree_util.tree_map_with_path(_frozen, params)
+        tx = optax.chain(tx, optax.masked(optax.set_to_zero(), frozen_mask))
 
     center_tx = optax.sgd(cfg.SOLVER.CENTER_LR)
     return tx, center_tx, schedule

@@ -1,0 +1,57 @@
+"""Solver tests: schedule parity with the reference WarmupMultiStepLR."""
+
+import bisect
+
+import jax.numpy as jnp
+import numpy as np
+
+from demo2_tpu.config import get_cfg_defaults
+from demo2_tpu.solver import make_lr_schedule, warmup_linear_lr, warmup_multistep_lr
+
+
+def _reference_lr(base_lr, milestones, gamma, wf, wi, method, epoch):
+    """Direct transcription of the reference formula (lr_scheduler.py:43-56)."""
+    factor = 1.0
+    if epoch < wi:
+        if method == "constant":
+            factor = wf
+        else:
+            alpha = epoch / wi
+            factor = wf * (1 - alpha) + alpha
+    return base_lr * factor * gamma ** bisect.bisect_right(sorted(milestones), epoch)
+
+
+def test_warmup_multistep_matches_reference_formula():
+    lr_at = warmup_multistep_lr(3.5e-4, (40, 70), 0.1, 0.01, 10, "linear")
+    for epoch in range(0, 120):
+        ref = _reference_lr(3.5e-4, (40, 70), 0.1, 0.01, 10, "linear", epoch)
+        np.testing.assert_allclose(lr_at(epoch), ref, rtol=1e-12)
+
+
+def test_warmup_constant():
+    lr_at = warmup_multistep_lr(0.01, (5,), 0.1, 0.5, 3, "constant")
+    assert lr_at(0) == 0.01 * 0.5
+    assert lr_at(2) == 0.01 * 0.5
+    assert lr_at(3) == 0.01
+    assert lr_at(6) == 0.01 * 0.1
+
+
+def test_step_schedule_epoch_granularity():
+    cfg = get_cfg_defaults()
+    cfg.SOLVER.BASE_LR = 1e-3
+    cfg.SOLVER.WARMUP_ITERS = 2
+    cfg.SOLVER.STEPS = (4,)
+    schedule = make_lr_schedule(cfg, steps_per_epoch=10)
+    lr_at = warmup_multistep_lr(1e-3, (4,), cfg.SOLVER.GAMMA,
+                                cfg.SOLVER.WARMUP_FACTOR, 2, "linear")
+    # step s belongs to epoch 1 + s // 10 (scheduler.step(epoch) at start).
+    for step in (0, 5, 10, 19, 20, 45, 100):
+        expected = lr_at(1 + step // 10)
+        np.testing.assert_allclose(float(schedule(jnp.asarray(step))), expected, rtol=1e-6)
+
+
+def test_warmup_linear_endpoints():
+    lr_at = warmup_linear_lr(1e-3, max_epochs=50, warmup_iters=0)
+    np.testing.assert_allclose(lr_at(1), 1e-3)
+    np.testing.assert_allclose(lr_at(50), 0.0, atol=1e-12)
+    assert lr_at(25) < lr_at(10)

@@ -1,0 +1,129 @@
+"""Training CLI (reference: train_net.py:33-132).
+
+Usage:
+    python tools/train.py --config_file configs/RGBNT201/DeMo.yml \
+        [--exp_name NAME] [--fea_cft N] [opts KEY VALUE ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+
+def set_seed(seed: int):
+    """Seed host RNGs (reference: train_net.py:18-30; device RNG is the
+    explicit jax.random key threaded through the engine)."""
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def main():
+    parser = argparse.ArgumentParser(description="DeMo TPU Training")
+    parser.add_argument("--config_file", default="", type=str)
+    parser.add_argument("--fea_cft", default=0, type=int, help="feature pattern for eval")
+    parser.add_argument("--exp_name", default=None, type=str)
+    parser.add_argument("--local_rank", default=0, type=int)
+    parser.add_argument("opts", nargs=argparse.REMAINDER)
+    args = parser.parse_args()
+
+    from demo2_tpu.config import get_cfg_defaults
+    from demo2_tpu.data import make_dataloader
+    from demo2_tpu.engine import create_train_state, do_train
+    from demo2_tpu.models import make_model
+    from demo2_tpu.parallel import make_mesh
+    from demo2_tpu.utils.logger import setup_logger
+
+    cfg = get_cfg_defaults()
+    if args.config_file:
+        cfg.merge_from_file(args.config_file)
+    cfg.merge_from_list(args.opts)
+    cfg.TEST.FEAT = args.fea_cft  # reference: train_net.py:49
+    cfg.freeze()
+
+    set_seed(cfg.SOLVER.SEED)
+    output_dir = cfg.OUTPUT_DIR
+    os.makedirs(output_dir, exist_ok=True)
+    logger = setup_logger("DeMo", output_dir, if_train=True)
+    logger.info("Running with config:\n%s", cfg)
+    logger.info("JAX backend: %s, devices: %s", jax.default_backend(), jax.devices())
+
+    (
+        train_pipe,
+        sampler,
+        val_pipe,
+        num_query,
+        num_classes,
+        cam_num,
+        view_num,
+    ) = make_dataloader(cfg)
+    model = make_model(cfg, num_classes, cam_num, view_num)
+
+    steps_per_epoch = max(1, len(sampler) // cfg.SOLVER.IMS_PER_BATCH)
+    rng = jax.random.PRNGKey(cfg.SOLVER.SEED)
+    sample = next(train_pipe.iter_batches(sampler.epoch_indices(0), seed=0))
+    state, tx, center_tx, schedule = create_train_state(
+        cfg, model, rng, sample, steps_per_epoch
+    )
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+    logger.info("Total parameters: %.2fM", n_params / 1e6)
+
+    # Optional pretrained backbone weights (reference: meta_arch.py:59,66-71).
+    if cfg.MODEL.PRETRAIN_PATH_T and os.path.exists(cfg.MODEL.PRETRAIN_PATH_T):
+        from demo2_tpu.utils.converters import (
+            convert_clip_visual,
+            convert_imagenet_vit,
+            load_torch_state_dict,
+            merge_pretrained_backbone,
+        )
+
+        sd = load_torch_state_dict(cfg.MODEL.PRETRAIN_PATH_T)
+        gh = cfg.INPUT.SIZE_TRAIN[0] // cfg.MODEL.STRIDE_SIZE[0]
+        gw = cfg.INPUT.SIZE_TRAIN[1] // cfg.MODEL.STRIDE_SIZE[1]
+        if "ViT-B-16" in cfg.MODEL.TRANSFORMER_TYPE:
+            bb = convert_clip_visual(sd, gh, gw)
+        else:
+            bb = convert_imagenet_vit(sd, gh, gw)
+        state = state.replace(params=merge_pretrained_backbone(state.params, bb))
+        logger.info("Loaded pretrained backbone from %s", cfg.MODEL.PRETRAIN_PATH_T)
+
+    writer = None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        tb_dir = os.path.join("logs", "tensorboard", args.exp_name or cfg.MODEL.NAME)
+        writer = SummaryWriter(tb_dir)
+        logger.info("TensorBoard logging to %s", tb_dir)
+    except Exception as e:  # TB optional
+        logger.info("TensorBoard unavailable: %s", e)
+
+    mesh = make_mesh(cfg.TPU.NUM_DEVICES)
+    state, best = do_train(
+        cfg,
+        model,
+        state,
+        tx,
+        center_tx,
+        train_pipe,
+        sampler,
+        val_pipe,
+        num_query,
+        schedule=schedule,
+        mesh=mesh,
+        writer=writer,
+        exp_name=args.exp_name,
+        checkpoint_dir=os.path.join(output_dir, "checkpoints"),
+    )
+    logger.info("Training done. Best: %s", best)
+
+
+if __name__ == "__main__":
+    main()

@@ -102,6 +102,8 @@ class MultiModalSDTPS(nn.Module):
 
         # ---- stacked cross-attention scores -------------------------------
         if self.use_cross_attn:
+            cd = self.dtype  # projections on the MXU in compute dtype;
+            # logits/softmax stay fp32 (the AMP-parity precision split).
             wshape = (m, 1) if self.share_cross_attn_weights else (m, m)
             wq = self.param("q_proj_kernel", xavier_uniform_init, (*wshape, c, c), f32)
             bq = self.param("q_proj_bias", nn.initializers.zeros, (*wshape, c), f32)
@@ -111,9 +113,15 @@ class MultiModalSDTPS(nn.Module):
                 wq, bq = (jnp.broadcast_to(t, (m, m) + t.shape[2:]) for t in (wq, bq))
                 wk, bk = (jnp.broadcast_to(t, (m, m) + t.shape[2:]) for t in (wk, bk))
             # q[m,g] projects guide g's global; k[m,g] projects modality m's patches.
-            q = jnp.einsum("gbc,mgcd->mgbd", globals_.astype(f32), wq) + bq[:, :, None, :]
-            k = jnp.einsum("mbnc,mgcd->mgbnd", patches.astype(f32), wk) + bk[:, :, None, None, :]
-            logits = jnp.einsum("mgbd,mgbnd->mgbn", q, k) * (c ** -0.5)
+            q = jnp.einsum(
+                "gbc,mgcd->mgbd", globals_.astype(cd), wq.astype(cd)
+            ) + bq.astype(cd)[:, :, None, :]
+            k = jnp.einsum(
+                "mbnc,mgcd->mgbnd", patches.astype(cd), wk.astype(cd)
+            ) + bk.astype(cd)[:, :, None, None, :]
+            logits = jnp.einsum(
+                "mgbd,mgbnd->mgbn", q, k, preferred_element_type=f32
+            ) * (c ** -0.5)
             logits = logits + cos / self.cosine_tau
             scores = jax.nn.softmax(logits, axis=-1)  # (3, 3, B, N)
         else:

@@ -46,23 +46,30 @@ class ViTAttention(nn.Module):
             param_dtype=jnp.float32,
             name="qkv",
         )(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(b, n, h, d)
-        k = k.reshape(b, n, h, d)
-        v = v.reshape(b, n, h, d)
-        rng = None
-        if self.attn_drop > 0.0 and not deterministic:
-            rng = self.make_rng("dropout")
-        out = attention_core(
-            q,
-            k,
-            v,
-            scale=d ** -0.5,
-            dropout_rate=self.attn_drop,
-            deterministic=deterministic,
-            rng=rng,
-            implementation=self.implementation,
-        ).reshape(b, n, c)
+        if self.implementation == "pallas" and (
+            self.attn_drop == 0.0 or deterministic
+        ):
+            from ..ops.packed_attention import packed_self_attention
+
+            out = packed_self_attention(qkv, h, d ** -0.5)
+        else:
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = q.reshape(b, n, h, d)
+            k = k.reshape(b, n, h, d)
+            v = v.reshape(b, n, h, d)
+            rng = None
+            if self.attn_drop > 0.0 and not deterministic:
+                rng = self.make_rng("dropout")
+            out = attention_core(
+                q,
+                k,
+                v,
+                scale=d ** -0.5,
+                dropout_rate=self.attn_drop,
+                deterministic=deterministic,
+                rng=rng,
+                implementation=self.implementation,
+            ).reshape(b, n, c)
         out = nn.Dense(
             c,
             kernel_init=torch_linear_kernel_init,

@@ -62,6 +62,7 @@ def attention_core(
         implementation == "pallas"
         and mask_bias is None
         and (dropout_rate == 0.0 or deterministic)
+        and q.shape[1] == k.shape[1]  # kernel is self-attention-shaped
     ):
         from .flash_attention import flash_attention
 
@@ -103,6 +104,7 @@ class MultiHeadAttention(nn.Module):
         d = c // h
         dtype = self.dtype or query.dtype
 
+        is_self_attn = key is query and value is key
         in_proj = self.param("in_proj_kernel", xavier_uniform_init, (c, 3 * c), jnp.float32)
         if self.lora_rank > 0:
             lora_a = self.param(
@@ -115,33 +117,52 @@ class MultiHeadAttention(nn.Module):
                 "lora_b", nn.initializers.zeros, (self.lora_rank, 3 * c), jnp.float32
             )
             in_proj = in_proj + self.lora_alpha * (lora_a @ lora_b)
-        wq, wk, wv = jnp.split(in_proj.astype(dtype), 3, axis=-1)
         if self.use_bias:
             in_bias = self.param("in_proj_bias", nn.initializers.zeros, (3 * c,), jnp.float32)
-            bq, bk, bv = jnp.split(in_bias.astype(dtype), 3)
         else:
-            bq = bk = bv = 0.0
+            in_bias = None
 
-        q = (query.astype(dtype) @ wq + bq).reshape(*query.shape[:-1], h, d)
-        k = (key.astype(dtype) @ wk + bk).reshape(*key.shape[:-1], h, d)
-        v = (value.astype(dtype) @ wv + bv).reshape(*value.shape[:-1], h, d)
-
-        rng = None
-        if self.dropout_rate > 0.0 and not deterministic:
-            rng = self.make_rng("dropout")
-
-        out = attention_core(
-            q,
-            k,
-            v,
-            scale=1.0 / (d ** 0.5),
-            mask_bias=mask_bias,
-            dropout_rate=self.dropout_rate,
-            deterministic=deterministic,
-            rng=rng,
-            implementation=self.implementation,
+        use_packed = (
+            self.implementation == "pallas"
+            and is_self_attn
+            and mask_bias is None
+            and (self.dropout_rate == 0.0 or deterministic)
         )
-        out = out.reshape(*query.shape[:-1], c)
+        if use_packed:
+            # Zero-relayout path: one packed GEMM -> fused kernel.
+            from .packed_attention import packed_self_attention
+
+            qkv = query.astype(dtype) @ in_proj.astype(dtype)
+            if in_bias is not None:
+                qkv = qkv + in_bias.astype(dtype)
+            out = packed_self_attention(qkv, self.num_heads, 1.0 / (d ** 0.5))
+        else:
+            wq, wk, wv = jnp.split(in_proj.astype(dtype), 3, axis=-1)
+            if in_bias is not None:
+                bq, bk, bv = jnp.split(in_bias.astype(dtype), 3)
+            else:
+                bq = bk = bv = 0.0
+
+            q = (query.astype(dtype) @ wq + bq).reshape(*query.shape[:-1], h, d)
+            k = (key.astype(dtype) @ wk + bk).reshape(*key.shape[:-1], h, d)
+            v = (value.astype(dtype) @ wv + bv).reshape(*value.shape[:-1], h, d)
+
+            rng = None
+            if self.dropout_rate > 0.0 and not deterministic:
+                rng = self.make_rng("dropout")
+
+            out = attention_core(
+                q,
+                k,
+                v,
+                scale=1.0 / (d ** 0.5),
+                mask_bias=mask_bias,
+                dropout_rate=self.dropout_rate,
+                deterministic=deterministic,
+                rng=rng,
+                implementation=self.implementation,
+            )
+            out = out.reshape(*query.shape[:-1], c)
         out = nn.Dense(
             c,
             use_bias=self.out_bias,

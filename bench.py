@@ -96,7 +96,10 @@ def main():
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = step(state, im_d, pid_d, cam_d, view_d, rng)
-    jax.block_until_ready(metrics["loss"])
+    # Host readback of the last step's loss: every step is in the state
+    # dependency chain, so this forces ALL iters to really execute (plain
+    # block_until_ready can under-report on remote-execution backends).
+    _ = float(metrics["loss"])
     dt = time.perf_counter() - t0
 
     n_dev = len(mesh.devices.flatten())

@@ -69,6 +69,7 @@ def run_eval(
     val_pipe,
     num_query: int,
     return_pattern: int = 3,
+    rank_list_path: Optional[str] = None,
 ) -> Tuple[np.ndarray, float]:
     """Extract features over query+gallery and compute CMC/mAP."""
     scene_protocol = cfg.DATASETS.NAMES == "MSVR310"
@@ -97,7 +98,11 @@ def run_eval(
             batch.camids[:v],
             batch.viewids[:v] if scene_protocol else None,
         )
-    cmc, mAP = evaluator.compute(on_device=cfg.TPU.EVAL_ON_DEVICE)
+    if rank_list_path is None and scene_protocol:
+        rank_list_path = "re.txt"  # reference always writes this for MSVR310
+    cmc, mAP = evaluator.compute(
+        on_device=cfg.TPU.EVAL_ON_DEVICE, rank_list_path=rank_list_path
+    )
     return np.asarray(cmc), float(mAP)
 
 

@@ -17,7 +17,7 @@ batched MHA call over a (M*B, K, C) stack; entropy/log/softmax run in fp32.
 
 from __future__ import annotations
 
-from typing import Any, List, Tuple
+from typing import Any, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -178,6 +178,51 @@ class DualGatedAdaptiveFusionV4(nn.Module):
             fused.astype(h.dtype)
         )
         return h + enh[None].astype(h.dtype)
+
+
+class DualGatedAdaptiveFusionV2(nn.Module):
+    """DGAF V2 (reference: :290-403): cross-modal-attention enhanced variant.
+
+    Not reachable from make_model in the reference fork (SURVEY §2.5), kept
+    for API completeness.  Global features are refined by attending the fused
+    feature over each modality's tokens with ONE shared MHA, then enhanced by
+    the projected fused feature; returns 3 independent (B, C) features.
+    """
+
+    feat_dim: int
+    tau: float = 1.0
+    init_alpha: float = 0.5
+    use_cross_modal_attn: bool = True
+    num_heads: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        h: jnp.ndarray,  # (3, B, C) global features
+        tokens: Optional[jnp.ndarray] = None,  # (3, B, N, C) patch tokens
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        fused = _DualGateCore(
+            self.feat_dim, self.tau, self.init_alpha, dtype=self.dtype, name="core"
+        )(h)
+        if self.use_cross_modal_attn and tokens is not None:
+            m, b, n, c = tokens.shape
+            q = jnp.broadcast_to(
+                fused.astype(tokens.dtype)[None, :, None, :], (m, b, 1, c)
+            ).reshape(m * b, 1, c)
+            kv = tokens.reshape(m * b, n, c)
+            attn_out = MultiHeadAttention(
+                num_heads=self.num_heads, dtype=self.dtype, name="cross_attn"
+            )(q, kv, deterministic=deterministic)[:, 0]
+            attn_out = LayerNorm(name="cross_attn_norm")(attn_out)
+            h = h + attn_out.reshape(m, b, c).astype(h.dtype)
+        proj = TorchLinear(self.feat_dim, dtype=self.dtype, name="output_fc")(
+            fused.astype(h.dtype)
+        )
+        proj = LayerNorm(name="output_ln")(proj)
+        proj = jax.nn.gelu(proj, approximate=False)
+        return h + proj[None].astype(h.dtype)
 
 
 class DualGatedAdaptiveFusionV3Multi(nn.Module):

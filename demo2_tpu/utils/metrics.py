@@ -171,7 +171,7 @@ class R1mAPEvaluator:
         if sceneid is not None:
             self.sceneids.append(np.asarray(sceneid))
 
-    def compute(self, on_device: bool = True):
+    def compute(self, on_device: bool = True, rank_list_path=None):
         feats = np.concatenate(self.feats, axis=0)
         pids = np.concatenate(self.pids)
         camids = np.concatenate(self.camids)
@@ -193,6 +193,17 @@ class R1mAPEvaluator:
             distmat = euclidean_distance(qf, gf)
 
         filt = scenes if self.scene_protocol else camids
+        if rank_list_path is not None:
+            # Reference writes a per-query rank list during MSVR310 eval
+            # (utils/metrics.py:70-77).
+            from ..visualize.rank_list import save_rank_list
+
+            save_rank_list(
+                np.asarray(distmat), pids[:nq], pids[nq:], camids[:nq], camids[nq:],
+                scenes[:nq] if scenes is not None else None,
+                scenes[nq:] if scenes is not None else None,
+                path=rank_list_path,
+            )
         if on_device:
             cmc, mAP = cmc_map_device(
                 jnp.asarray(distmat),

@@ -202,3 +202,18 @@ def test_frca_shape_and_fp32_fft():
     frca_bf = FourierResidualChannelAttention(channels=16, dtype=jnp.bfloat16)
     out_bf = frca_bf.apply(vars_, x.astype(jnp.bfloat16))
     assert np.all(np.isfinite(np.asarray(out_bf, np.float32)))
+
+
+def test_dgaf_v2_shapes_and_cross_attn_effect():
+    from demo2_tpu.models.dgaf import DualGatedAdaptiveFusionV2
+
+    h = _globals(c=32)
+    toks = _tokens(c=32)
+    v2 = DualGatedAdaptiveFusionV2(feat_dim=32)
+    vars_ = v2.init(RNG, h, toks)
+    out = v2.apply(vars_, h, toks)
+    assert out.shape == (3, 4, 32)
+    # Without tokens the cross-attn enhancement is skipped.
+    out_no = v2.apply(vars_, h, None)
+    assert out_no.shape == (3, 4, 32)
+    assert float(jnp.max(jnp.abs(out - out_no))) > 1e-6

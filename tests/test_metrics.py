@@ -76,3 +76,21 @@ def test_reranking_device_matches_numpy():
     np.testing.assert_allclose(dev, ref.astype(np.float32), atol=2e-3)
     for i in range(ref.shape[0]):
         np.testing.assert_array_equal(np.argsort(dev[i])[:5], np.argsort(ref[i])[:5])
+
+
+def test_save_rank_list(tmp_path):
+    from demo2_tpu.visualize.rank_list import save_rank_list
+
+    rng = np.random.default_rng(0)
+    distmat = rng.uniform(size=(4, 10)).astype(np.float32)
+    q_pids = np.arange(4)
+    g_pids = rng.integers(0, 4, 10)
+    cams = np.zeros(4, np.int64)
+    gcams = np.ones(10, np.int64)
+    scenes = np.zeros(4, np.int64)
+    gscenes = rng.integers(0, 2, 10)
+    p = tmp_path / "re.txt"
+    save_rank_list(distmat, q_pids, g_pids, cams, gcams, scenes, gscenes, str(p))
+    lines = p.read_text().splitlines()
+    assert lines[0] == "rank list file"
+    assert len(lines) == 1 + 2 * 4  # header + (query line + rank line) per query

@@ -32,8 +32,19 @@ def main():
     parser.add_argument("--fea_cft", default=0, type=int, help="feature pattern for eval")
     parser.add_argument("--exp_name", default=None, type=str)
     parser.add_argument("--local_rank", default=0, type=int)
+    parser.add_argument(
+        "--distributed",
+        action="store_true",
+        help="multi-host: call jax.distributed.initialize() (replaces the "
+        "reference's NCCL init_process_group, train_net.py:72-73)",
+    )
+    parser.add_argument("--resume", default="", type=str,
+                        help="checkpoint dir to resume the full train state from")
     parser.add_argument("opts", nargs=argparse.REMAINDER)
     args = parser.parse_args()
+
+    if args.distributed:
+        jax.distributed.initialize()
 
     from demo2_tpu.config import get_cfg_defaults
     from demo2_tpu.data import make_dataloader
@@ -94,6 +105,12 @@ def main():
             bb = convert_imagenet_vit(sd, gh, gw)
         state = state.replace(params=merge_pretrained_backbone(state.params, bb))
         logger.info("Loaded pretrained backbone from %s", cfg.MODEL.PRETRAIN_PATH_T)
+
+    if args.resume:
+        from demo2_tpu.utils.checkpoint import restore_checkpoint
+
+        state = restore_checkpoint(args.resume, state)
+        logger.info("Resumed from %s at step %d", args.resume, int(state.step))
 
     writer = None
     try:

@@ -56,12 +56,82 @@ class Batch:
 
 
 class TriModalDataPipe:
-    def __init__(self, samples, dataset, transform, batch_size: int, num_workers: int = 4):
+    def __init__(
+        self,
+        samples,
+        dataset,
+        transform,
+        batch_size: int,
+        num_workers: int = 4,
+        use_native: Optional[bool] = None,
+    ):
         self.samples = samples
         self.dataset = dataset
         self.transform = transform
         self.batch_size = batch_size
-        self.pool = cf.ThreadPoolExecutor(max_workers=max(1, num_workers))
+        self.num_workers = max(1, num_workers)
+        self.pool = cf.ThreadPoolExecutor(max_workers=self.num_workers)
+        # Native C++ decode/transform path: training-only (its resize is
+        # cubic; the eval path keeps torchvision-parity bilinear via PIL) and
+        # only for on-disk JPEGs.
+        from .transforms import TrainTransform
+
+        if use_native is None:
+            from .native import native_available
+
+            use_native = (
+                isinstance(transform, TrainTransform)
+                and self._all_jpeg_paths()
+                and native_available()
+            )
+        self.use_native = bool(use_native)
+
+    def _all_jpeg_paths(self) -> bool:
+        if not self.samples:
+            return False
+        for s in self.samples[: min(len(self.samples), 8)]:
+            ref = s[0]
+            paths = [ref] if isinstance(ref, str) else ref
+            if not isinstance(paths, (list, tuple)):
+                return False
+            for p in paths:
+                if not (isinstance(p, str) and p.lower().endswith((".jpg", ".jpeg"))):
+                    return False
+        return True
+
+    def _native_batch_images(self, indices, seed) -> np.ndarray:
+        """Native path: (B, 3, H, W, 3) float32 via libd2tloader."""
+        from .native import load_batch_native, sample_train_params
+
+        h, w = self.transform.size
+        paths, params = [], []
+        for k, idx in enumerate(indices):
+            rng = np.random.default_rng((seed, int(idx), k))
+            ref = self.samples[idx][0]
+            if isinstance(ref, str):  # wide-strip layout (RGBNT100)
+                strips = [(0, 0, 256, 128), (256, 0, 512, 128), (512, 0, 768, 128)]
+                for st in strips:
+                    paths.append(ref)
+                    params.append(
+                        sample_train_params(
+                            rng, (h, w), self.transform.flip_prob,
+                            self.transform.padding, self.transform.re_prob, st,
+                        )
+                    )
+            else:
+                for p in ref:
+                    paths.append(p)
+                    params.append(
+                        sample_train_params(
+                            rng, (h, w), self.transform.flip_prob,
+                            self.transform.padding, self.transform.re_prob, None,
+                        )
+                    )
+        flat = load_batch_native(
+            paths, params, h, w, self.transform.mean, self.transform.std,
+            num_threads=self.num_workers,
+        )
+        return flat.reshape(len(indices), 3, h, w, 3)
 
     def _load_one(self, idx: int, rng: np.random.Generator) -> np.ndarray:
         ref = self.samples[idx][0]
@@ -70,13 +140,18 @@ class TriModalDataPipe:
         return np.stack([self.transform(im, rng) for im in imgs])  # (3, H, W, 3)
 
     def _make_batch(self, indices: np.ndarray, seed: int, pad_to: Optional[int]) -> Batch:
-        rngs = [np.random.default_rng((seed, int(i), k)) for k, i in enumerate(indices)]
-        arrs = list(self.pool.map(self._load_one, indices, rngs))
         valid = len(indices)
         if pad_to is not None and valid < pad_to:
-            arrs.extend([arrs[-1]] * (pad_to - valid))
             indices = np.concatenate([indices, np.full(pad_to - valid, indices[-1])])
-        images = np.stack(arrs).astype(np.float32)
+        if self.use_native:
+            images = self._native_batch_images(indices, seed)
+        else:
+            rngs = [
+                np.random.default_rng((seed, int(i), k))
+                for k, i in enumerate(indices)
+            ]
+            arrs = list(self.pool.map(self._load_one, indices, rngs))
+            images = np.stack(arrs).astype(np.float32)
         meta = [self.samples[i] for i in indices]
         return Batch(
             images=images,

@@ -11,9 +11,10 @@ Structural parity with the reference CLIP visual tower
 
 TPU-first deltas: computation in a configurable dtype (bf16 by default) with
 fp32 LayerNorms and fp32 attention softmax; attention can use the Pallas
-fused kernel.  The prompt/adapter tuning path (reference:
-clip/model.py:238-404, off by default per README) is not implemented; the
-flags are accepted and must be False.
+fused kernel.  MODEL.ADAPTER (MambaPro FFN adapters, reference
+clip/model.py:206-236) is implemented; MODEL.PROMPT (per-block modality
+prompt tokens, :238-404 — reserved and off by default per README:142) is a
+documented stub that raises when enabled.
 """
 
 from __future__ import annotations
@@ -53,14 +54,35 @@ class CLIPMlp(nn.Module):
         return x
 
 
+class FFNAdapter(nn.Module):
+    """Bottleneck FFN adapter (reference: clip/model.py:206-209, MambaPro
+    ADAPTER path, forward_with_adapter :232-236)."""
+
+    width: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Dense(self.width // 2, kernel_init=torch_linear_kernel_init,
+                     dtype=self.dtype, param_dtype=jnp.float32, name="down")(x)
+        y = quick_gelu(y)
+        return nn.Dense(self.width, kernel_init=torch_linear_kernel_init,
+                        dtype=self.dtype, param_dtype=jnp.float32, name="up")(y)
+
+
 class ResidualAttentionBlock(nn.Module):
-    """Pre-LN block (reference: clip/model.py:168-230, forward_ori)."""
+    """Pre-LN block (reference: clip/model.py:168-230, forward_ori).
+
+    `use_adapter` adds the MambaPro FFN adapter in parallel with the MLP
+    (forward_with_adapter: x = x + mlp(ln_2(x)) + adapter_ffn(x)).
+    """
 
     width: int
     heads: int
     dtype: Any = jnp.float32
     attn_implementation: str = "xla"
     lora_rank: int = 0
+    use_adapter: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -75,6 +97,8 @@ class ResidualAttentionBlock(nn.Module):
         x = x + y
         y = LayerNorm(name="ln_2")(x)
         y = CLIPMlp(self.width, dtype=self.dtype, name="mlp")(y)
+        if self.use_adapter:
+            y = y + FFNAdapter(self.width, dtype=self.dtype, name="adapter_ffn")(x)
         return x + y
 
 
@@ -91,6 +115,7 @@ class CLIPVisionTransformer(nn.Module):
     attn_implementation: str = "xla"
     remat: bool = False
     lora_rank: int = 0
+    use_adapter: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, cv_emb: Optional[jnp.ndarray] = None):
@@ -136,6 +161,7 @@ class CLIPVisionTransformer(nn.Module):
                 dtype=self.dtype,
                 attn_implementation=self.attn_implementation,
                 lora_rank=self.lora_rank,
+                use_adapter=self.use_adapter,
                 name=f"resblocks_{i}",
             )(x)
 

@@ -92,6 +92,8 @@ class _DeMoBase(nn.Module):
             width_override=cfg.TPU.BACKBONE_WIDTH,
             heads_override=cfg.TPU.BACKBONE_HEADS,
             lora_rank=cfg.TPU.LORA_RANK if cfg.MODEL.FROZEN else 0,
+            use_adapter=cfg.MODEL.ADAPTER,
+            use_prompt=cfg.MODEL.PROMPT,
             name="backbone",
         )
 

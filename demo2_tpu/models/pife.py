@@ -49,6 +49,11 @@ class PIFE(nn.Module):
     heads_override: int = -1
     # LoRA rank for the frozen-backbone fine-tuning path (MODEL.FROZEN).
     lora_rank: int = 0
+    # MambaPro FFN adapters in each CLIP block (MODEL.ADAPTER).
+    use_adapter: bool = False
+    # MODEL.PROMPT (MambaPro per-block modality prompt tokens) is reserved
+    # and off by default in the reference (README:142); not implemented.
+    use_prompt: bool = False
 
     @property
     def feat_dim(self) -> int:
@@ -74,6 +79,11 @@ class PIFE(nn.Module):
         modality_mask: Optional[jnp.ndarray] = None,  # (3,) or (B, 3) float
         deterministic: bool = True,
     ):
+        if self.use_prompt:
+            raise NotImplementedError(
+                "MODEL.PROMPT (MambaPro prompt tuning) is a reserved,"
+                " off-by-default path in the reference; not implemented."
+            )
         b = images.shape[0]
         m = NUM_MODALITIES
         if modality_mask is not None:
@@ -117,6 +127,7 @@ class PIFE(nn.Module):
                 attn_implementation=self.attn_implementation,
                 remat=self.remat,
                 lora_rank=self.lora_rank,
+                use_adapter=self.use_adapter,
                 name="base",
             )(x, cv_emb)
         else:

@@ -178,3 +178,15 @@ def test_missing_modality_mask_zeroes_input(tiny_cfg):
     ref = model.apply(variables, zeroed, cams, train=False)["embedding"]
     np.testing.assert_allclose(np.asarray(masked), np.asarray(ref), rtol=1e-5, atol=1e-5)
     assert not np.allclose(np.asarray(full), np.asarray(masked))
+
+
+def test_adapter_flag_adds_params(tiny_cfg):
+    tiny_cfg.MODEL.ADAPTER = True
+    out, _ = _run(tiny_cfg)
+    assert out["embedding"].shape == (4, 3 * 512)
+
+
+def test_prompt_flag_raises(tiny_cfg):
+    tiny_cfg.MODEL.PROMPT = True
+    with pytest.raises(NotImplementedError):
+        _run(tiny_cfg)

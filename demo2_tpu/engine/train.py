@@ -121,6 +121,34 @@ def build_train_step(cfg: Config, model, tx, center_tx, mesh=None, donate: bool 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
+def device_prefetch(batch_iter, mesh, depth: int = 2):
+    """Overlap host->device transfer with compute.
+
+    Wraps a host batch iterator; each batch's arrays are device_put with the
+    batch sharding ahead of use (the reference's pinned-memory + worker
+    overlap, data side of processor.py:59-64).
+    """
+    import collections
+
+    from ..parallel.mesh import batch_sharding
+
+    sh = batch_sharding(mesh) if mesh is not None else None
+
+    def put(b):
+        dev = lambda x: jax.device_put(x, sh) if sh is not None else jnp.asarray(x)
+        return (
+            dev(b.images), dev(b.pids), dev(b.camids), dev(b.viewids), b,
+        )
+
+    queue = collections.deque()
+    for b in batch_iter:
+        queue.append(put(b))
+        if len(queue) >= depth:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
+
+
 def do_train(
     cfg: Config,
     model,
@@ -166,15 +194,10 @@ def do_train(
         t0 = time.time()
         losses, accs, n_iter = [], [], 0
         order = sampler.epoch_indices(epoch)
-        for batch in train_pipe.iter_batches(order, seed=epoch):
-            state, metrics = train_step(
-                state,
-                jnp.asarray(batch.images),
-                jnp.asarray(batch.pids),
-                jnp.asarray(batch.camids),
-                jnp.asarray(batch.viewids),
-                rng,
-            )
+        for images, pids, camids, viewids, batch in device_prefetch(
+            train_pipe.iter_batches(order, seed=epoch), mesh
+        ):
+            state, metrics = train_step(state, images, pids, camids, viewids, rng)
             losses.append(metrics["loss"])
             accs.append(metrics["acc"])
             n_iter += 1

@@ -1,0 +1,34 @@
+import json
+
+from demo2_tpu.utils.metrics_log import (
+    MetricsLogger,
+    TeeWriter,
+    load_metrics,
+    summarize_run,
+    write_markdown_report,
+)
+
+
+def test_jsonl_logging_and_summary(tmp_path):
+    p = tmp_path / "m.jsonl"
+    log = MetricsLogger(str(p))
+    for step, (loss, mAP) in enumerate([(2.0, 0.5), (1.5, 0.7), (1.0, 0.65)]):
+        log.add_scalar("Train/Loss", loss, step)
+        log.add_scalar("Val/mAP", mAP, step)
+        log.add_scalar("Val/Rank-1", mAP + 0.1, step)
+    log.close()
+    s = summarize_run(str(p))
+    assert s["Train/Loss"]["final"] == 1.0
+    assert s["Val/mAP"]["best"] == 0.7
+
+    md = write_markdown_report({"run_a": str(p)}, str(tmp_path / "r.md"))
+    text = open(md).read()
+    assert "run_a" in text and "70.0%" in text
+
+
+def test_tee_writer(tmp_path):
+    p = tmp_path / "m.jsonl"
+    tee = TeeWriter(MetricsLogger(str(p)), None)
+    tee.add_scalar("x", 1.0, 0)
+    tee.close()
+    assert len(load_metrics(str(p))) == 1

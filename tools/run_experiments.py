@@ -61,6 +61,20 @@ def main():
             break
 
     Path(args.report).write_text(json.dumps(results, indent=2))
+    # Markdown ablation table from per-run JSONL metrics (equivalent of the
+    # reference's experiment_result_summary/*.md reports).
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from demo2_tpu.utils.metrics_log import write_markdown_report
+
+    runs = {
+        r["name"]: str(Path("output") / f"{r['name']}_metrics.jsonl")
+        for r in results
+    }
+    try:
+        md = write_markdown_report(runs, "experiment_report.md")
+        print(f"markdown report -> {md}")
+    except Exception as e:
+        print(f"report generation skipped: {e}")
     print("\n===== SUMMARY =====")
     for r in results:
         print(f"  {r['name']:24s} rc={r['returncode']} {r['seconds']}s")

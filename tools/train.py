@@ -112,15 +112,21 @@ def main():
         state = restore_checkpoint(args.resume, state)
         logger.info("Resumed from %s at step %d", args.resume, int(state.step))
 
-    writer = None
+    from demo2_tpu.utils.metrics_log import MetricsLogger, TeeWriter
+
+    jsonl = MetricsLogger(
+        os.path.join(output_dir, f"{args.exp_name or cfg.MODEL.NAME}_metrics.jsonl")
+    )
+    tb = None
     try:
         from torch.utils.tensorboard import SummaryWriter
 
         tb_dir = os.path.join("logs", "tensorboard", args.exp_name or cfg.MODEL.NAME)
-        writer = SummaryWriter(tb_dir)
+        tb = SummaryWriter(tb_dir)
         logger.info("TensorBoard logging to %s", tb_dir)
-    except Exception as e:  # TB optional
-        logger.info("TensorBoard unavailable: %s", e)
+    except Exception as e:  # TB optional; JSONL metrics are always on
+        logger.info("TensorBoard unavailable (%s); JSONL metrics only", e)
+    writer = TeeWriter(jsonl, tb)
 
     mesh = make_mesh(cfg.TPU.NUM_DEVICES)
     state, best = do_train(

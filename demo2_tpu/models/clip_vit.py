@@ -11,10 +11,10 @@ Structural parity with the reference CLIP visual tower
 
 TPU-first deltas: computation in a configurable dtype (bf16 by default) with
 fp32 LayerNorms and fp32 attention softmax; attention can use the Pallas
-fused kernel.  MODEL.ADAPTER (MambaPro FFN adapters, reference
-clip/model.py:206-236) is implemented; MODEL.PROMPT (per-block modality
-prompt tokens, :238-404 — reserved and off by default per README:142) is a
-documented stub that raises when enabled.
+fused kernel.  The MambaPro tuning paths are implemented: MODEL.ADAPTER
+(FFN adapters, reference clip/model.py:206-236) and MODEL.PROMPT (per-block
+modality prompt tokens with cross-modal transfer adapters, :297-385; both
+are off by default per README:142).
 """
 
 from __future__ import annotations
@@ -75,6 +75,16 @@ class ResidualAttentionBlock(nn.Module):
 
     `use_adapter` adds the MambaPro FFN adapter in parallel with the MLP
     (forward_with_adapter: x = x + mlp(ln_2(x)) + adapter_ffn(x)).
+
+    `use_prompt` implements the MambaPro modality-prompt path
+    (forward_with_prompt / forward_with_prompt_adapter, reference:
+    clip/model.py:297-385): per block, k own-modality prompt tokens plus two
+    cross-modality transferred prompts are appended to the sequence, the
+    block runs, the 3k prompt tokens are stripped, and their mean becomes
+    `last_prompt` for the next block.  With the stacked-modality layout the
+    three per-modality variants run as one batched call: rows are
+    modality-major (3, B, S, C) and each modality segment gets its own
+    prompt triple with the own-prompt at its modality slot.
     """
 
     width: int
@@ -83,9 +93,46 @@ class ResidualAttentionBlock(nn.Module):
     attn_implementation: str = "xla"
     lora_rank: int = 0
     use_adapter: bool = False
+    use_prompt: bool = False
+    prompt_k: int = 4
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, last_prompt=None):
+        k = self.prompt_k
+        if self.use_prompt:
+            b3, s, c = x.shape
+            b = b3 // 3
+            f32 = jnp.float32
+            prompts = self.param(
+                "adapter_prompts", nn.initializers.zeros, (3, k, c), f32
+            ).astype(self.dtype)
+            # Cross-modality transfer: T_src = prompt_src + adapter_src(prompt_src)
+            transferred = jnp.stack(
+                [
+                    prompts[i]
+                    + FFNAdapter(c, dtype=self.dtype, name=f"adapter_{nm}")(prompts[i])
+                    for i, nm in enumerate(("r", "n", "t"))
+                ]
+            )  # (3, k, C)
+            if last_prompt is None:
+                own = jnp.broadcast_to(prompts[:, None], (3, b, k, c))
+            else:
+                lp = last_prompt.reshape(3, b, k, c)
+                own = (
+                    lp
+                    + FFNAdapter(c, dtype=self.dtype, name="adapter_transfer")(lp)
+                    + prompts[:, None]
+                )
+            tr = jnp.broadcast_to(transferred[:, None], (3, b, k, c))
+            # Segment m appends [slot0, slot1, slot2] with own at slot m
+            # (reference order: rgb=[r,n2r,t2r], nir=[r2n,n,t2n], tir=[r2t,n2t,t]).
+            seg_prompts = []
+            for m in range(3):
+                slots = [tr[i] if i != m else own[m] for i in range(3)]
+                seg_prompts.append(jnp.concatenate(slots, axis=1))  # (B, 3k, C)
+            appended = jnp.concatenate(seg_prompts, axis=0)  # (3B, 3k, C)
+            x = jnp.concatenate([x, appended.astype(x.dtype)], axis=1)
+
         y = LayerNorm(name="ln_1")(x)
         y = MultiHeadAttention(
             num_heads=self.heads,
@@ -99,7 +146,15 @@ class ResidualAttentionBlock(nn.Module):
         y = CLIPMlp(self.width, dtype=self.dtype, name="mlp")(y)
         if self.use_adapter:
             y = y + FFNAdapter(self.width, dtype=self.dtype, name="adapter_ffn")(x)
-        return x + y
+        x = x + y
+
+        if self.use_prompt:
+            tail = x[:, -3 * k :]
+            prompt_current = (
+                tail[:, :k] + tail[:, k : 2 * k] + tail[:, 2 * k :]
+            ) / 3.0  # (3B, k, C), reference :333
+            return x[:, : -3 * k], prompt_current
+        return x
 
 
 class CLIPVisionTransformer(nn.Module):
@@ -116,6 +171,7 @@ class CLIPVisionTransformer(nn.Module):
     remat: bool = False
     lora_rank: int = 0
     use_adapter: bool = False
+    use_prompt: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, cv_emb: Optional[jnp.ndarray] = None):
@@ -154,16 +210,22 @@ class CLIPVisionTransformer(nn.Module):
         block_cls = ResidualAttentionBlock
         if self.remat:
             block_cls = nn.remat(ResidualAttentionBlock)
+        last_prompt = None
         for i in range(self.layers):
-            x = block_cls(
+            blk = block_cls(
                 self.width,
                 self.heads,
                 dtype=self.dtype,
                 attn_implementation=self.attn_implementation,
                 lora_rank=self.lora_rank,
                 use_adapter=self.use_adapter,
+                use_prompt=self.use_prompt,
                 name=f"resblocks_{i}",
-            )(x)
+            )
+            if self.use_prompt:
+                x, last_prompt = blk(x, last_prompt)
+            else:
+                x = blk(x)
 
         x = LayerNorm(name="ln_post")(x)
         proj = self.param(

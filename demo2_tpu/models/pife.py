@@ -51,8 +51,8 @@ class PIFE(nn.Module):
     lora_rank: int = 0
     # MambaPro FFN adapters in each CLIP block (MODEL.ADAPTER).
     use_adapter: bool = False
-    # MODEL.PROMPT (MambaPro per-block modality prompt tokens) is reserved
-    # and off by default in the reference (README:142); not implemented.
+    # MambaPro per-block modality prompt tokens (MODEL.PROMPT); requires
+    # the CLIP backbone (stacked modality-major rows).
     use_prompt: bool = False
 
     @property
@@ -79,10 +79,9 @@ class PIFE(nn.Module):
         modality_mask: Optional[jnp.ndarray] = None,  # (3,) or (B, 3) float
         deterministic: bool = True,
     ):
-        if self.use_prompt:
+        if self.use_prompt and "ViT-B-16" not in self.transformer_type:
             raise NotImplementedError(
-                "MODEL.PROMPT (MambaPro prompt tuning) is a reserved,"
-                " off-by-default path in the reference; not implemented."
+                "MODEL.PROMPT is only defined for the CLIP backbone"
             )
         b = images.shape[0]
         m = NUM_MODALITIES
@@ -128,6 +127,7 @@ class PIFE(nn.Module):
                 remat=self.remat,
                 lora_rank=self.lora_rank,
                 use_adapter=self.use_adapter,
+                use_prompt=self.use_prompt,
                 name="base",
             )(x, cv_emb)
         else:

@@ -186,7 +186,14 @@ def test_adapter_flag_adds_params(tiny_cfg):
     assert out["embedding"].shape == (4, 3 * 512)
 
 
-def test_prompt_flag_raises(tiny_cfg):
+def test_prompt_path_runs(tiny_cfg):
     tiny_cfg.MODEL.PROMPT = True
-    with pytest.raises(NotImplementedError):
-        _run(tiny_cfg)
+    out, _ = _run(tiny_cfg)
+    assert out["embedding"].shape == (4, 3 * 512)
+
+
+def test_prompt_adapter_combined(tiny_cfg):
+    tiny_cfg.MODEL.PROMPT = True
+    tiny_cfg.MODEL.ADAPTER = True
+    out, _ = _run(tiny_cfg)
+    assert out["embedding"].shape == (4, 3 * 512)

@@ -96,8 +96,45 @@ class ResidualAttentionBlock(nn.Module):
     use_prompt: bool = False
     prompt_k: int = 4
 
+    def _fused_attention(self, x):
+        """Fused LN1+qkv+attention+out-proj+residual Pallas path.
+
+        Declares the SAME param tree as the unfused path (dummy submodule
+        calls create the params; their outputs are dead-code-eliminated),
+        then hands the raw parameters to the fused kernel.
+        """
+        from ..ops.fused_block import fused_attention_block
+
+        c = x.shape[-1]
+        ln1 = LayerNorm(name="ln_1")
+        _ = ln1(x[:1, :1])
+        attn = MultiHeadAttention(
+            num_heads=self.heads,
+            dtype=self.dtype,
+            implementation="xla",
+            lora_rank=self.lora_rank,
+            name="attn",
+        )
+        _ = attn(x[:1, :2])
+        lnp = ln1.variables["params"]
+        ap = attn.variables["params"]
+        wqkv = ap["in_proj_kernel"]
+        if self.lora_rank > 0:
+            wqkv = wqkv + ap["lora_a"] @ ap["lora_b"]
+        return fused_attention_block(
+            x,
+            lnp["scale"],
+            lnp["bias"],
+            wqkv,
+            ap["in_proj_bias"],
+            ap["out_proj"]["kernel"],
+            ap["out_proj"]["bias"],
+            num_heads=self.heads,
+            scale=(c // self.heads) ** -0.5,
+        )
+
     @nn.compact
-    def __call__(self, x, last_prompt=None):
+    def __call__(self, x, last_prompt=None, deterministic: bool = True):
         k = self.prompt_k
         if self.use_prompt:
             b3, s, c = x.shape
@@ -133,15 +170,20 @@ class ResidualAttentionBlock(nn.Module):
             appended = jnp.concatenate(seg_prompts, axis=0)  # (3B, 3k, C)
             x = jnp.concatenate([x, appended.astype(x.dtype)], axis=1)
 
-        y = LayerNorm(name="ln_1")(x)
-        y = MultiHeadAttention(
-            num_heads=self.heads,
-            dtype=self.dtype,
-            implementation=self.attn_implementation,
-            lora_rank=self.lora_rank,
-            name="attn",
-        )(y)
-        x = x + y
+        # The fully-fused block is forward-only (its backward would recompute
+        # the forward, costing more than the fusion saves) -> inference only.
+        if self.attn_implementation == "pallas" and deterministic:
+            x = self._fused_attention(x)
+        else:
+            y = LayerNorm(name="ln_1")(x)
+            y = MultiHeadAttention(
+                num_heads=self.heads,
+                dtype=self.dtype,
+                implementation=self.attn_implementation,
+                lora_rank=self.lora_rank,
+                name="attn",
+            )(y)
+            x = x + y
         y = LayerNorm(name="ln_2")(x)
         y = CLIPMlp(self.width, dtype=self.dtype, name="mlp")(y)
         if self.use_adapter:
@@ -174,7 +216,12 @@ class CLIPVisionTransformer(nn.Module):
     use_prompt: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, cv_emb: Optional[jnp.ndarray] = None):
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        cv_emb: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ):
         """x: (B, H, W, 3) images; cv_emb: (B, width) SIE embedding or None."""
         b = x.shape[0]
         scale = self.width ** -0.5
@@ -223,9 +270,9 @@ class CLIPVisionTransformer(nn.Module):
                 name=f"resblocks_{i}",
             )
             if self.use_prompt:
-                x, last_prompt = blk(x, last_prompt)
+                x, last_prompt = blk(x, last_prompt, deterministic)
             else:
-                x = blk(x)
+                x = blk(x, None, deterministic)
 
         x = LayerNorm(name="ln_post")(x)
         proj = self.param(

@@ -129,7 +129,7 @@ class PIFE(nn.Module):
                 use_adapter=self.use_adapter,
                 use_prompt=self.use_prompt,
                 name="base",
-            )(x, cv_emb)
+            )(x, cv_emb, deterministic)
         else:
             tokens = ImageNetViT(
                 img_size=tuple(self.img_size),

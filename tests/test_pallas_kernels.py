@@ -51,3 +51,21 @@ def test_packed_attention_bwd_interpret():
     np.testing.assert_allclose(
         np.asarray(g_kernel), np.asarray(g_ref), rtol=1e-4, atol=1e-4
     )
+
+
+def test_fused_attention_block_interpret():
+    from demo2_tpu.ops.fused_block import _fused_fwd_impl, _reference_impl
+
+    b, s, c, h = 4, 11, 32, 4
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (b, s, c), jnp.float32)
+    lns = jnp.ones((c,), jnp.float32) * 1.1
+    lnb = jnp.ones((c,), jnp.float32) * 0.05
+    wqkv = jax.random.normal(jax.random.fold_in(rng, 1), (c, 3 * c)) * 0.1
+    bqkv = jax.random.normal(jax.random.fold_in(rng, 2), (3 * c,)) * 0.1
+    wout = jax.random.normal(jax.random.fold_in(rng, 3), (c, c)) * 0.1
+    bout = jax.random.normal(jax.random.fold_in(rng, 4), (c,)) * 0.1
+    scale = (c // h) ** -0.5
+    out = _fused_fwd_impl(x, lns, lnb, wqkv, bqkv, wout, bout, h, scale, interpret=True)
+    ref = _reference_impl(x, lns, lnb, wqkv, bqkv, wout, bout, h, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)

@@ -133,6 +133,26 @@ class ResidualAttentionBlock(nn.Module):
             scale=(c // self.heads) ** -0.5,
         )
 
+    def _fused_mlp(self, x):
+        """Fused LN2+fc1+QuickGELU+fc2+residual (inference)."""
+        from ..ops.fused_block import fused_mlp_block
+
+        ln2 = LayerNorm(name="ln_2")
+        _ = ln2(x[:1, :1])
+        mlp = CLIPMlp(self.width, dtype=self.dtype, name="mlp")
+        _ = mlp(x[:1, :1])
+        lnp = ln2.variables["params"]
+        mp = mlp.variables["params"]
+        return fused_mlp_block(
+            x,
+            lnp["scale"],
+            lnp["bias"],
+            mp["c_fc"]["kernel"],
+            mp["c_fc"]["bias"],
+            mp["c_proj"]["kernel"],
+            mp["c_proj"]["bias"],
+        )
+
     @nn.compact
     def __call__(self, x, last_prompt=None, deterministic: bool = True):
         k = self.prompt_k
@@ -170,9 +190,10 @@ class ResidualAttentionBlock(nn.Module):
             appended = jnp.concatenate(seg_prompts, axis=0)  # (3B, 3k, C)
             x = jnp.concatenate([x, appended.astype(x.dtype)], axis=1)
 
-        # The fully-fused block is forward-only (its backward would recompute
-        # the forward, costing more than the fusion saves) -> inference only.
-        if self.attn_implementation == "pallas" and deterministic:
+        # The fully-fused sub-blocks are forward-only (a recompute backward
+        # costs more than the fusion saves) -> inference only.
+        fuse = self.attn_implementation == "pallas" and deterministic
+        if fuse:
             x = self._fused_attention(x)
         else:
             y = LayerNorm(name="ln_1")(x)
@@ -184,11 +205,14 @@ class ResidualAttentionBlock(nn.Module):
                 name="attn",
             )(y)
             x = x + y
-        y = LayerNorm(name="ln_2")(x)
-        y = CLIPMlp(self.width, dtype=self.dtype, name="mlp")(y)
-        if self.use_adapter:
-            y = y + FFNAdapter(self.width, dtype=self.dtype, name="adapter_ffn")(x)
-        x = x + y
+        if fuse and not self.use_adapter:
+            x = self._fused_mlp(x)
+        else:
+            y = LayerNorm(name="ln_2")(x)
+            y = CLIPMlp(self.width, dtype=self.dtype, name="mlp")(y)
+            if self.use_adapter:
+                y = y + FFNAdapter(self.width, dtype=self.dtype, name="adapter_ffn")(x)
+            x = x + y
 
         if self.use_prompt:
             tail = x[:, -3 * k :]

@@ -174,3 +174,80 @@ def fused_attention_block(
             x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, num_heads, scale
         )
     return _fused(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, num_heads, scale)
+
+
+# ---------------------------------------------------------------------------
+# Fused MLP sub-block: LN2 -> fc1 -> QuickGELU -> fc2 -> (+adapter) -> residual
+# ---------------------------------------------------------------------------
+
+
+def _mlp_reference_impl(x, ln_scale, ln_bias, w1, b1, w2, b2):
+    f32 = jnp.float32
+    xf = x.astype(f32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    t = ((xf - mean) * jax.lax.rsqrt(var + 1e-5)) * ln_scale + ln_bias
+    t = t.astype(x.dtype)
+    h = t @ w1.astype(x.dtype) + b1.astype(x.dtype)
+    g = (h * jax.nn.sigmoid(1.702 * h)).astype(x.dtype)
+    return x + g @ w2.astype(x.dtype) + b2.astype(x.dtype)
+
+
+def _mlp_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
+    f32 = jnp.float32
+    x = x_ref[...]
+    xf = x.astype(f32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    t = ((xf - mean) * jax.lax.rsqrt(var + 1e-5)) * lns_ref[...] + lnb_ref[...]
+    h = jnp.dot(t.astype(x.dtype), w1_ref[...], preferred_element_type=f32) + b1_ref[...]
+    g = (h * jax.nn.sigmoid(1.702 * h)).astype(x.dtype)
+    y = jnp.dot(g, w2_ref[...], preferred_element_type=f32) + b2_ref[...]
+    o_ref[...] = (xf + y).astype(o_ref.dtype)
+
+
+def fused_mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2, block_rows: int = 512,
+                    interpret: bool = False):
+    """x + fc2(qgelu(fc1(LN(x)))) in one kernel; the (M, 4C) hidden stays in
+    VMEM.  Forward/inference only (rows are flattened tokens, so any leading
+    shape works).  Falls back to XLA off-TPU."""
+    if jax.default_backend() not in ("tpu", "axon") and not interpret:
+        return _mlp_reference_impl(x, ln_scale, ln_bias, w1, b1, w2, b2)
+    orig_shape = x.shape
+    c = orig_shape[-1]
+    f = w1.shape[-1]
+    xm = x.reshape(-1, c)
+    m = xm.shape[0]
+    bm = block_rows
+    m_pad = -(-m // bm) * bm
+    if m_pad != m:
+        xm = jnp.pad(xm, [(0, m_pad - m), (0, 0)])
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        _mlp_kernel,
+        grid=(m_pad // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            const((c,)), const((c,)), const((c, f)), const((f,)),
+            const((f, c)), const((c,)),
+        ],
+        out_specs=pl.BlockSpec((bm, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, c), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * m_pad * c * f,
+            bytes_accessed=2 * m_pad * c * x.dtype.itemsize,
+            transcendentals=m_pad * f,
+        ),
+        interpret=interpret,
+    )(
+        xm,
+        ln_scale.astype(jnp.float32),
+        ln_bias.astype(jnp.float32),
+        w1.astype(x.dtype),
+        b1.astype(jnp.float32),
+        w2.astype(x.dtype),
+        b2.astype(jnp.float32),
+    )
+    return out[:m].reshape(orig_shape)

@@ -69,3 +69,20 @@ def test_fused_attention_block_interpret():
     out = _fused_fwd_impl(x, lns, lnb, wqkv, bqkv, wout, bout, h, scale, interpret=True)
     ref = _reference_impl(x, lns, lnb, wqkv, bqkv, wout, bout, h, scale)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_fused_mlp_block_interpret():
+    from demo2_tpu.ops.fused_block import _mlp_reference_impl, fused_mlp_block
+
+    b, s, c, f = 2, 9, 32, 128
+    rng = jax.random.PRNGKey(5)
+    x = jax.random.normal(rng, (b, s, c), jnp.float32)
+    lns = jnp.ones((c,)) * 0.9
+    lnb = jnp.ones((c,)) * -0.02
+    w1 = jax.random.normal(jax.random.fold_in(rng, 1), (c, f)) * 0.1
+    b1 = jax.random.normal(jax.random.fold_in(rng, 2), (f,)) * 0.1
+    w2 = jax.random.normal(jax.random.fold_in(rng, 3), (f, c)) * 0.1
+    b2 = jax.random.normal(jax.random.fold_in(rng, 4), (c,)) * 0.1
+    out = fused_mlp_block(x, lns, lnb, w1, b1, w2, b2, block_rows=8, interpret=True)
+    ref = _mlp_reference_impl(x, lns, lnb, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)

@@ -99,8 +99,31 @@ class TrimodalLIF(nn.Module):
 
 
 def _resize_bilinear(x, size):
-    """F.interpolate(..., mode='bilinear', align_corners=False) equivalent."""
-    return jax.image.resize(x, (x.shape[0], *size, x.shape[-1]), method="bilinear")
+    """F.interpolate(..., mode='bilinear', align_corners=False) equivalent.
+
+    torch's interpolate does NOT antialias (2-tap kernel even when
+    minifying), whereas jax.image.resize does — so the sampling is done
+    explicitly here for exact parity with the reference
+    (make_model.py:275-277, trimodal_lif.py GT resizes).
+    """
+    b, h, w, c = x.shape
+    oh, ow = size
+
+    def axis_weights(n_in, n_out):
+        centers = (jnp.arange(n_out) + 0.5) * (n_in / n_out) - 0.5
+        i0 = jnp.clip(jnp.floor(centers), 0, n_in - 1).astype(jnp.int32)
+        i1 = jnp.clip(i0 + 1, 0, n_in - 1)
+        frac = jnp.clip(centers - jnp.floor(centers), 0.0, 1.0)
+        frac = jnp.where(centers < 0, 0.0, frac)
+        return i0, i1, frac.astype(x.dtype)
+
+    y0, y1, fy = axis_weights(h, oh)
+    x0, x1, fx = axis_weights(w, ow)
+    top = x[:, y0][:, :, x0] * (1 - fx)[None, None, :, None] + \
+        x[:, y0][:, :, x1] * fx[None, None, :, None]
+    bot = x[:, y1][:, :, x0] * (1 - fx)[None, None, :, None] + \
+        x[:, y1][:, :, x1] * fx[None, None, :, None]
+    return top * (1 - fy)[None, :, None, None] + bot * fy[None, :, None, None]
 
 
 def rgb_quality(rgb: jnp.ndarray, target: Tuple[int, int]) -> jnp.ndarray:

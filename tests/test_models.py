@@ -197,3 +197,13 @@ def test_prompt_adapter_combined(tiny_cfg):
     tiny_cfg.MODEL.ADAPTER = True
     out, _ = _run(tiny_cfg)
     assert out["embedding"].shape == (4, 3 * 512)
+
+
+def test_imagenet_vit_backbone(tiny_cfg):
+    # ImageNet ViT path: 768-d features, SIE added to all tokens.
+    tiny_cfg.MODEL.TRANSFORMER_TYPE = "vit_base_patch16_224"
+    tiny_cfg.TPU.BACKBONE_WIDTH = -1  # width override is CLIP-only
+    tiny_cfg.TPU.BACKBONE_HEADS = -1
+    out, nc = _run(tiny_cfg, batch=2)
+    assert out["branches"]["ori"][1].shape == (2, 3 * 768)
+    assert out["embedding"].shape == (2, 3 * 768)

@@ -118,14 +118,28 @@ def make_loss_fn(cfg: Config, num_classes: int) -> Callable:
 
 
 def branch_weights(cfg: Config, branch_names) -> Dict[str, float]:
-    """Branch weighting mirroring the reference engine.
+    """Branch weighting.
 
-    The reference multiplies the FIRST (score, feat) pair by
-    SDTPS_LOSS_WEIGHT whenever USE_SDTPS is set (engine/processor.py:86-87,
-    95-96) — note this also applies to the dgaf pair in the SDTPS+DGAF
-    config, an intentional parity quirk.
+    DeMo/DeMoLegacy mirror the reference engine exactly: the FIRST
+    (score, feat) pair is multiplied by SDTPS_LOSS_WEIGHT whenever
+    USE_SDTPS is set (engine/processor.py:86-87, 95-96) — note this also
+    applies to the dgaf pair in the SDTPS+DGAF config, an intentional
+    parity quirk.
+
+    DeMo_Parallel uses the weights its config documents
+    (SDTPS/DGAF/FUSED_LOSS_WEIGHT per branch family,
+    config/defaults.py:48,63,69) — the reference engine defines but never
+    applies them (its generic loop only weights pair 0); this is a
+    documented intent-over-quirk deviation.
     """
     names = list(branch_names)
+    if cfg.MODEL.ARCH == "DeMo_Parallel":
+        fam = {
+            "sdtps": cfg.MODEL.SDTPS_LOSS_WEIGHT,
+            "dgaf": cfg.MODEL.DGAF_LOSS_WEIGHT,
+            "fused": cfg.MODEL.FUSED_LOSS_WEIGHT,
+        }
+        return {n: fam.get(n.split("_")[0], 1.0) for n in names}
     w = {n: 1.0 for n in names}
     if cfg.MODEL.USE_SDTPS and names:
         w[names[0]] = cfg.MODEL.SDTPS_LOSS_WEIGHT

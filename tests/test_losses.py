@@ -73,3 +73,29 @@ def test_euclidean_dist_matches_torch():
     # Diagonal entries are sqrt(clamp(~0)) — dominated by fp noise; compare
     # with an absolute tolerance there.
     np.testing.assert_allclose(d, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_branch_weights_semantics():
+    from demo2_tpu.config import get_cfg_defaults
+    from demo2_tpu.losses.losses import branch_weights
+
+    # DeMo: first branch gets SDTPS weight when USE_SDTPS (reference quirk:
+    # also applies to the dgaf pair in SDTPS+DGAF configs).
+    cfg = get_cfg_defaults()
+    cfg.MODEL.USE_SDTPS = True
+    cfg.MODEL.SDTPS_LOSS_WEIGHT = 2.0
+    w = branch_weights(cfg, ["dgaf"])
+    assert w == {"dgaf": 2.0}
+    w = branch_weights(cfg, ["sdtps", "ori_r"])
+    assert w == {"sdtps": 2.0, "ori_r": 1.0}
+
+    # DeMo_Parallel: per-family weights from the documented config knobs.
+    cfg2 = get_cfg_defaults()
+    cfg2.MODEL.ARCH = "DeMo_Parallel"
+    cfg2.MODEL.USE_SDTPS = True
+    cfg2.MODEL.SDTPS_LOSS_WEIGHT = 1.0
+    cfg2.MODEL.DGAF_LOSS_WEIGHT = 0.7
+    cfg2.MODEL.FUSED_LOSS_WEIGHT = 0.5
+    names = [f"{f}_{m}" for f in ("sdtps", "dgaf", "fused") for m in ("rgb", "nir", "tir")]
+    w = branch_weights(cfg2, names)
+    assert w["sdtps_rgb"] == 1.0 and w["dgaf_nir"] == 0.7 and w["fused_tir"] == 0.5

@@ -45,7 +45,10 @@ def eval_func_np(distmat, q_pids, g_pids, q_camids, g_camids, max_rank=50):
             continue
         cmc = orig_cmc.cumsum()
         cmc[cmc > 1] = 1
-        all_cmc.append(cmc[:max_rank])
+        row = cmc[:max_rank]
+        if len(row) < max_rank:  # tiny gallery after removal: CMC saturates
+            row = np.pad(row, (0, max_rank - len(row)), constant_values=row[-1])
+        all_cmc.append(row)
         num_valid_q += 1.0
         num_rel = orig_cmc.sum()
         tmp = orig_cmc.cumsum() / np.arange(1, orig_cmc.shape[0] + 1)
@@ -75,7 +78,10 @@ def eval_func_msvr_np(
             continue
         cmc = orig_cmc.cumsum()
         cmc[cmc > 1] = 1
-        all_cmc.append(cmc[:max_rank])
+        row = cmc[:max_rank]
+        if len(row) < max_rank:  # tiny gallery after removal: CMC saturates
+            row = np.pad(row, (0, max_rank - len(row)), constant_values=row[-1])
+        all_cmc.append(row)
         num_valid_q += 1.0
         num_rel = orig_cmc.sum()
         tmp = orig_cmc.cumsum() / np.arange(1, orig_cmc.shape[0] + 1)
@@ -184,11 +190,17 @@ class R1mAPEvaluator:
         qf, gf = f[:nq], f[nq:]
 
         if self.reranking:
-            from .reranking import re_ranking_np
+            # k1=50, k2=15, lambda=0.3 (reference: metrics.py:357-359).
+            if on_device:
+                from .reranking import re_ranking_device
 
-            distmat = re_ranking_np(
-                np.asarray(qf), np.asarray(gf), k1=50, k2=15, lambda_value=0.3
-            )
+                distmat = re_ranking_device(qf, gf, k1=50, k2=15, lambda_value=0.3)
+            else:
+                from .reranking import re_ranking_np
+
+                distmat = re_ranking_np(
+                    np.asarray(qf), np.asarray(gf), k1=50, k2=15, lambda_value=0.3
+                )
         else:
             distmat = euclidean_distance(qf, gf)
 

@@ -94,3 +94,24 @@ def test_save_rank_list(tmp_path):
     lines = p.read_text().splitlines()
     assert lines[0] == "rank list file"
     assert len(lines) == 1 + 2 * 4  # header + (query line + rank line) per query
+
+
+def test_evaluator_reranking_device_vs_host():
+    from demo2_tpu.utils.metrics import R1mAPEvaluator
+
+    rng = np.random.default_rng(5)
+    nq, ng, c = 10, 24, 16
+    feats = rng.normal(size=(nq + ng, c)).astype(np.float32)
+    pids = rng.integers(0, 6, nq + ng)
+    cams = rng.integers(0, 3, nq + ng)
+
+    results = []
+    for on_device in (True, False):
+        ev = R1mAPEvaluator(num_query=nq, reranking=True)
+        ev.update(feats, pids, cams)
+        cmc, mAP = ev.compute(on_device=on_device)
+        results.append((cmc, mAP))
+    # Host path accumulates V in fp16 (matching the reference) while the
+    # device path is fp32 — near-ties reorder slightly on random data.
+    np.testing.assert_allclose(results[0][1], results[1][1], atol=2e-2)
+    np.testing.assert_allclose(results[0][0][:5], results[1][0][:5], atol=0.1)

@@ -131,10 +131,30 @@ class PIFE(nn.Module):
                 name="base",
             )(x, cv_emb, deterministic)
         else:
+            # ImageNet ViT family (reference factory: vit_pytorch.py:487-523;
+            # make_model's feat-dim dispatch supports the 768-d variants).
+            if "vit_small" in self.transformer_type:
+                depth, heads, mlp_ratio, qkv_bias = 8, 8, 3.0, False
+                qk_scale = 768 ** -0.5
+            elif "vit_base" in self.transformer_type or "deit_base" in self.transformer_type:
+                depth, heads, mlp_ratio, qkv_bias = 12, 12, 4.0, True
+                qk_scale = None
+            else:
+                raise NotImplementedError(
+                    f"TRANSFORMER_TYPE '{self.transformer_type}' is not supported; "
+                    "use 'ViT-B-16' (CLIP), 'vit_base_patch16_224', "
+                    "'deit_base_patch16_224' or 'vit_small_patch16_224'. "
+                    "(t2t/swin are registered-but-dead hooks in the reference, "
+                    "and deit_small breaks its feat-dim dispatch.)"
+                )
             tokens = ImageNetViT(
                 img_size=tuple(self.img_size),
                 stride_size=tuple(self.stride_size),
-                depth=12 if self.depth_override < 0 else self.depth_override,
+                depth=depth if self.depth_override < 0 else self.depth_override,
+                num_heads=heads,
+                mlp_ratio=mlp_ratio,
+                qkv_bias=qkv_bias,
+                qk_scale=qk_scale,
                 camera=self.camera_num if self.sie_camera else 0,
                 view=self.view_num if self.sie_view else 0,
                 sie_xishu=self.sie_coe,

@@ -28,6 +28,7 @@ class ViTAttention(nn.Module):
 
     num_heads: int
     qkv_bias: bool = True
+    qk_scale: Optional[float] = None
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     dtype: Any = jnp.float32
@@ -38,6 +39,7 @@ class ViTAttention(nn.Module):
         b, n, c = x.shape
         h = self.num_heads
         d = c // h
+        scale = self.qk_scale if self.qk_scale is not None else d ** -0.5
         qkv = nn.Dense(
             3 * c,
             use_bias=self.qkv_bias,
@@ -51,7 +53,7 @@ class ViTAttention(nn.Module):
         ):
             from ..ops.packed_attention import packed_self_attention
 
-            out = packed_self_attention(qkv, h, d ** -0.5)
+            out = packed_self_attention(qkv, h, scale)
         else:
             q, k, v = jnp.split(qkv, 3, axis=-1)
             q = q.reshape(b, n, h, d)
@@ -64,7 +66,7 @@ class ViTAttention(nn.Module):
                 q,
                 k,
                 v,
-                scale=d ** -0.5,
+                scale=scale,
                 dropout_rate=self.attn_drop,
                 deterministic=deterministic,
                 rng=rng,
@@ -126,6 +128,7 @@ class ViTBlock(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
+    qk_scale: Optional[float] = None
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path_rate: float = 0.0
@@ -139,6 +142,7 @@ class ViTBlock(nn.Module):
         y = ViTAttention(
             self.num_heads,
             qkv_bias=self.qkv_bias,
+            qk_scale=self.qk_scale,
             attn_drop=self.attn_drop,
             proj_drop=self.drop,
             dtype=self.dtype,
@@ -262,6 +266,7 @@ class ImageNetViT(nn.Module):
                 self.num_heads,
                 mlp_ratio=self.mlp_ratio,
                 qkv_bias=self.qkv_bias,
+                qk_scale=self.qk_scale,
                 drop=self.drop_rate,
                 attn_drop=self.attn_drop_rate,
                 drop_path_rate=dpr[i],

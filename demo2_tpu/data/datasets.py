@@ -172,10 +172,17 @@ class SyntheticTriModal(BaseDataset):
         imgs_per_pid: int = 8,
         image_size: Tuple[int, int] = (64, 32),
         seed: int = 0,
+        hard: bool = False,
     ):
         self.image_size = image_size
+        self.hard = hard
         rng = np.random.default_rng(seed)
         self._palettes = rng.uniform(0.1, 0.9, size=(num_pids, 3, 3))  # pid, modality, rgb
+        if hard:
+            # Overlapping palettes + heavy noise: identities are NOT linearly
+            # separable from color alone, so eval metrics become meaningful.
+            base = rng.uniform(0.3, 0.7, size=(1, 3, 3))
+            self._palettes = 0.55 * base + 0.45 * self._palettes
 
         def split(tag, relabel):
             data = []
@@ -197,18 +204,36 @@ class SyntheticTriModal(BaseDataset):
         h, w = self.image_size
         rng = np.random.default_rng(hash((tag, pid, j)) % (2 ** 31))
         imgs = []
+        yy, xx = np.mgrid[0:h, 0:w]
         for m in range(3):
             base = np.ones((h, w, 3), np.float32) * self._palettes[pid, m]
-            yy, xx = np.mgrid[0:h, 0:w]
-            stripe = ((yy // max(2, pid + 2)) % 2).astype(np.float32)[..., None]
-            img = 0.7 * base + 0.2 * stripe + 0.1 * rng.uniform(0, 1, (h, w, 3))
+            if self.hard:
+                # Identity lives only in a small palette offset; the stripe
+                # texture is identity-INDEPENDENT and a per-image global
+                # brightness jitter acts as a camera nuisance factor.
+                stripe = ((yy // 4) % 2).astype(np.float32)[..., None]
+                jitter = rng.uniform(-0.18, 0.18)
+                img = (
+                    0.35 * base
+                    + 0.15 * stripe
+                    + 0.5 * rng.uniform(0, 1, (h, w, 3))
+                    + jitter
+                )
+            else:
+                stripe = ((yy // max(2, pid + 2)) % 2).astype(np.float32)[..., None]
+                img = 0.7 * base + 0.2 * stripe + 0.1 * rng.uniform(0, 1, (h, w, 3))
             imgs.append((img * 255).clip(0, 255).astype(np.uint8))
         return imgs
 
+
+import functools
 
 DATASET_REGISTRY = {
     "RGBNT201": RGBNT201,
     "RGBNT100": RGBNT100,
     "MSVR310": MSVR310,
     "Synthetic": SyntheticTriModal,
+    # Non-trivially-separable variant: eval metrics start well below 100%
+    # and respond to training (the easy variant saturates instantly).
+    "SyntheticHard": functools.partial(SyntheticTriModal, hard=True, num_pids=12),
 }

@@ -69,3 +69,37 @@ def test_e2e_legacy_hdm_atm(tiny_cfg):
     tiny_cfg.MODEL.HEAD = 8
     tiny_cfg.MODEL.USE_LIF = True
     _train_some(tiny_cfg)
+
+
+def test_training_improves_map_on_hard_synthetic(tiny_cfg):
+    """Quality signal: mAP must IMPROVE with training on the hard variant."""
+    cfg = tiny_cfg
+    cfg.DATASETS.NAMES = "SyntheticHard"
+    cfg.MODEL.USE_SDTPS = True
+    cfg.MODEL.USE_DGAF = True
+    cfg.SOLVER.OPTIMIZER_NAME = "Adam"
+    cfg.SOLVER.BASE_LR = 1e-3
+    cfg.freeze()
+    pipes = make_dataloader(cfg)
+    train_pipe, sampler, val_pipe, num_query, nc, cams, views = pipes
+    model = make_model(cfg, nc, cams, views)
+    batch = next(train_pipe.iter_batches(sampler.epoch_indices(0), seed=0))
+    state, tx, ctx, _ = create_train_state(
+        cfg, model, jax.random.PRNGKey(0), batch, steps_per_epoch=4
+    )
+    eval_step = build_eval_step(cfg, model, mesh=None)
+    _, map_before = run_eval(cfg, eval_step, state, val_pipe, num_query)
+
+    step = build_train_step(cfg, model, tx, ctx, mesh=None, donate=False)
+    for epoch in range(5):
+        for b in train_pipe.iter_batches(sampler.epoch_indices(epoch), seed=epoch):
+            state, _m = step(
+                state,
+                jnp.asarray(b.images),
+                jnp.asarray(b.pids),
+                jnp.asarray(b.camids),
+                jnp.asarray(b.viewids),
+                jax.random.PRNGKey(epoch),
+            )
+    _, map_after = run_eval(cfg, eval_step, state, val_pipe, num_query)
+    assert map_after > map_before + 0.02, (map_before, map_after)

@@ -202,7 +202,10 @@ class SyntheticTriModal(BaseDataset):
         """Generate the 3 modality images for a sample reference."""
         tag, pid, j = ref
         h, w = self.image_size
-        rng = np.random.default_rng(hash((tag, pid, j)) % (2 ** 31))
+        # Stable across processes (builtin str hash is PYTHONHASHSEED-random).
+        import zlib
+
+        rng = np.random.default_rng(zlib.crc32(f"{tag}/{pid}/{j}".encode()))
         imgs = []
         yy, xx = np.mgrid[0:h, 0:w]
         for m in range(3):

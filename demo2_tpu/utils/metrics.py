@@ -9,8 +9,10 @@ TPU-first: the reference computes the distance matrix and a per-query Python
 CMC loop on CPU/numpy (hot loop, SURVEY §3.5).  Here the whole evaluation —
 distmat (one GEMM), ranking, protocol filtering, CMC and AP — is a fully
 vectorized jnp computation: per-query variable-length "kept" lists become
-cumulative-position arithmetic over masks.  A faithful numpy port is kept for
-golden-value testing.
+cumulative-position arithmetic over masks.  Parity is asserted against a
+direct import of the reference implementation in tests/test_metrics.py;
+`on_device=False` runs the same vectorized math pinned to the host CPU
+backend (useful when accelerator memory is tight at eval time).
 """
 
 from __future__ import annotations
@@ -21,79 +23,6 @@ from typing import List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-
-# --------------------------------------------------------------------------
-# numpy reference implementations (golden tests / host fallback)
-# --------------------------------------------------------------------------
-
-def eval_func_np(distmat, q_pids, g_pids, q_camids, g_camids, max_rank=50):
-    """Market1501 protocol, faithful port of reference eval_func :110-169."""
-    num_q, num_g = distmat.shape
-    if num_g < max_rank:
-        max_rank = num_g
-    indices = np.argsort(distmat, axis=1)
-    matches = (g_pids[indices] == q_pids[:, np.newaxis]).astype(np.int32)
-    all_cmc, all_ap = [], []
-    num_valid_q = 0.0
-    for qi in range(num_q):
-        order = indices[qi]
-        remove = (g_pids[order] == q_pids[qi]) & (g_camids[order] == q_camids[qi])
-        keep = ~remove
-        orig_cmc = matches[qi][keep]
-        if not np.any(orig_cmc):
-            continue
-        cmc = orig_cmc.cumsum()
-        cmc[cmc > 1] = 1
-        row = cmc[:max_rank]
-        if len(row) < max_rank:  # tiny gallery after removal: CMC saturates
-            row = np.pad(row, (0, max_rank - len(row)), constant_values=row[-1])
-        all_cmc.append(row)
-        num_valid_q += 1.0
-        num_rel = orig_cmc.sum()
-        tmp = orig_cmc.cumsum() / np.arange(1, orig_cmc.shape[0] + 1)
-        all_ap.append((tmp * orig_cmc).sum() / num_rel)
-    assert num_valid_q > 0, "all query identities do not appear in gallery"
-    all_cmc = np.asarray(all_cmc, np.float32).sum(0) / num_valid_q
-    return all_cmc, float(np.mean(all_ap))
-
-
-def eval_func_msvr_np(
-    distmat, q_pids, g_pids, q_camids, g_camids, q_sceneids, g_sceneids, max_rank=50
-):
-    """MSVR310 protocol (same-pid + same-scene removal), ref :12-108."""
-    num_q, num_g = distmat.shape
-    if num_g < max_rank:
-        max_rank = num_g
-    indices = np.argsort(distmat, axis=1)
-    matches = (g_pids[indices] == q_pids[:, np.newaxis]).astype(np.int32)
-    all_cmc, all_ap = [], []
-    num_valid_q = 0.0
-    for qi in range(num_q):
-        order = indices[qi]
-        remove = (g_pids[order] == q_pids[qi]) & (g_sceneids[order] == q_sceneids[qi])
-        keep = ~remove
-        orig_cmc = matches[qi][keep]
-        if not np.any(orig_cmc):
-            continue
-        cmc = orig_cmc.cumsum()
-        cmc[cmc > 1] = 1
-        row = cmc[:max_rank]
-        if len(row) < max_rank:  # tiny gallery after removal: CMC saturates
-            row = np.pad(row, (0, max_rank - len(row)), constant_values=row[-1])
-        all_cmc.append(row)
-        num_valid_q += 1.0
-        num_rel = orig_cmc.sum()
-        tmp = orig_cmc.cumsum() / np.arange(1, orig_cmc.shape[0] + 1)
-        all_ap.append((tmp * orig_cmc).sum() / num_rel)
-    assert num_valid_q > 0
-    all_cmc = np.asarray(all_cmc, np.float32).sum(0) / num_valid_q
-    return all_cmc, float(np.mean(all_ap))
-
-
-# --------------------------------------------------------------------------
-# on-device vectorized evaluation
-# --------------------------------------------------------------------------
 
 def euclidean_distance(qf: jnp.ndarray, gf: jnp.ndarray) -> jnp.ndarray:
     """Squared-expanded euclidean distmat (reference: metrics.py:395-401)."""
@@ -178,6 +107,12 @@ class R1mAPEvaluator:
             self.sceneids.append(np.asarray(sceneid))
 
     def compute(self, on_device: bool = True, rank_list_path=None):
+        if on_device:
+            return self._compute(rank_list_path=rank_list_path)
+        with jax.default_device(jax.devices("cpu")[0]):
+            return self._compute(rank_list_path=rank_list_path)
+
+    def _compute(self, rank_list_path=None):
         feats = np.concatenate(self.feats, axis=0)
         pids = np.concatenate(self.pids)
         camids = np.concatenate(self.camids)
@@ -191,16 +126,9 @@ class R1mAPEvaluator:
 
         if self.reranking:
             # k1=50, k2=15, lambda=0.3 (reference: metrics.py:357-359).
-            if on_device:
-                from .reranking import re_ranking_device
+            from .reranking import re_ranking_device
 
-                distmat = re_ranking_device(qf, gf, k1=50, k2=15, lambda_value=0.3)
-            else:
-                from .reranking import re_ranking_np
-
-                distmat = re_ranking_np(
-                    np.asarray(qf), np.asarray(gf), k1=50, k2=15, lambda_value=0.3
-                )
+            distmat = re_ranking_device(qf, gf, k1=50, k2=15, lambda_value=0.3)
         else:
             distmat = euclidean_distance(qf, gf)
 
@@ -216,22 +144,12 @@ class R1mAPEvaluator:
                 scenes[nq:] if scenes is not None else None,
                 path=rank_list_path,
             )
-        if on_device:
-            cmc, mAP = cmc_map_device(
-                jnp.asarray(distmat),
-                jnp.asarray(pids[:nq]),
-                jnp.asarray(pids[nq:]),
-                jnp.asarray(filt[:nq]),
-                jnp.asarray(filt[nq:]),
-                self.max_rank,
-            )
-            return np.asarray(cmc), float(mAP)
-        if self.scene_protocol:
-            return eval_func_msvr_np(
-                np.asarray(distmat), pids[:nq], pids[nq:], camids[:nq], camids[nq:],
-                scenes[:nq], scenes[nq:], self.max_rank,
-            )
-        return eval_func_np(
-            np.asarray(distmat), pids[:nq], pids[nq:], camids[:nq], camids[nq:],
+        cmc, mAP = cmc_map_device(
+            jnp.asarray(distmat),
+            jnp.asarray(pids[:nq]),
+            jnp.asarray(pids[nq:]),
+            jnp.asarray(filt[:nq]),
+            jnp.asarray(filt[nq:]),
             self.max_rank,
         )
+        return np.asarray(cmc), float(mAP)

@@ -1,13 +1,14 @@
-"""k-reciprocal re-ranking (CVPR'17), numpy + on-device variants.
+"""k-reciprocal re-ranking (CVPR'17), TPU-native.
 
 Reference: utils/reranking.py:29-101 (invoked with k1=50, k2=15, lambda=0.3
 from metrics.py:357-359).
 
-`re_ranking_np` is a faithful port operating on numpy features.
 `re_ranking_device` is a TPU-native reformulation: the k-reciprocal sets
 become boolean rank masks, the 2/3-overlap expansion becomes one boolean
 matmul, and the Jaccard distance is computed as a blocked sum of elementwise
-minima on the VPU — no Python loops over samples.
+minima on the VPU — no Python loops over samples.  Parity with the original
+algorithm is asserted against a direct import of the reference code in
+tests/test_metrics.py.
 """
 
 from __future__ import annotations
@@ -15,58 +16,6 @@ from __future__ import annotations
 import numpy as np
 import jax
 import jax.numpy as jnp
-
-
-def re_ranking_np(prob_fea, gal_fea, k1=50, k2=15, lambda_value=0.3):
-    """Faithful numpy port of the reference algorithm (reranking.py:29-101)."""
-    query_num = prob_fea.shape[0]
-    feat = np.concatenate([prob_fea, gal_fea], axis=0).astype(np.float32)
-    all_num = feat.shape[0]
-    sq = np.square(feat).sum(axis=1)
-    original_dist = sq[:, None] + sq[None, :] - 2.0 * feat @ feat.T
-    original_dist = np.transpose(original_dist / np.max(original_dist, axis=0))
-    V = np.zeros_like(original_dist, dtype=np.float16)
-    initial_rank = np.argsort(original_dist).astype(np.int32)
-
-    for i in range(all_num):
-        fwd = initial_rank[i, : k1 + 1]
-        bwd = initial_rank[fwd, : k1 + 1]
-        fi = np.where(bwd == i)[0]
-        k_recip = fwd[fi]
-        expansion = k_recip
-        for j in range(len(k_recip)):
-            cand = k_recip[j]
-            cand_fwd = initial_rank[cand, : int(np.around(k1 / 2)) + 1]
-            cand_bwd = initial_rank[cand_fwd, : int(np.around(k1 / 2)) + 1]
-            fi_cand = np.where(cand_bwd == cand)[0]
-            cand_recip = cand_fwd[fi_cand]
-            if len(np.intersect1d(cand_recip, k_recip)) > 2.0 / 3 * len(cand_recip):
-                expansion = np.append(expansion, cand_recip)
-        expansion = np.unique(expansion)
-        weight = np.exp(-original_dist[i, expansion])
-        V[i, expansion] = (weight / np.sum(weight)).astype(np.float16)
-
-    original_dist = original_dist[:query_num, ]
-    if k2 != 1:
-        V_qe = np.zeros_like(V, dtype=np.float16)
-        for i in range(all_num):
-            V_qe[i, :] = np.mean(V[initial_rank[i, :k2], :], axis=0)
-        V = V_qe
-    inv_index = [np.where(V[:, i] != 0)[0] for i in range(all_num)]
-
-    jaccard_dist = np.zeros_like(original_dist, dtype=np.float16)
-    for i in range(query_num):
-        temp_min = np.zeros(shape=[1, all_num], dtype=np.float16)
-        ind_nz = np.where(V[i, :] != 0)[0]
-        ind_images = [inv_index[ind] for ind in ind_nz]
-        for j in range(len(ind_nz)):
-            temp_min[0, ind_images[j]] = temp_min[0, ind_images[j]] + np.minimum(
-                V[i, ind_nz[j]], V[ind_images[j], ind_nz[j]]
-            )
-        jaccard_dist[i] = 1 - temp_min / (2 - temp_min)
-
-    final_dist = jaccard_dist * (1 - lambda_value) + original_dist * lambda_value
-    return final_dist[:query_num, query_num:]
 
 
 def _rank_positions(dist: jnp.ndarray) -> jnp.ndarray:

@@ -184,9 +184,12 @@ class DualGatedAdaptiveFusionV2(nn.Module):
     """DGAF V2 (reference: :290-403): cross-modal-attention enhanced variant.
 
     Not reachable from make_model in the reference fork (SURVEY §2.5), kept
-    for API completeness.  Global features are refined by attending the fused
-    feature over each modality's tokens with ONE shared MHA, then enhanced by
-    the projected fused feature; returns 3 independent (B, C) features.
+    for API completeness.  Unlike V1/V3/V4 it composes the BASE-class gates
+    (dual_gated_fusion.py:34-182): the MIG is gate -> scale -> concat ->
+    fusion_proj(Linear+LN+ReLU), not a gated weighted sum.  Global features
+    are then refined by attending the fused feature over each modality's
+    tokens with ONE shared MHA, and enhanced by the projected fused feature;
+    returns stacked (3, B, C) enhanced features.
     """
 
     feat_dim: int
@@ -203,9 +206,35 @@ class DualGatedAdaptiveFusionV2(nn.Module):
         tokens: Optional[jnp.ndarray] = None,  # (3, B, N, C) patch tokens
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        fused = _DualGateCore(
-            self.feat_dim, self.tau, self.init_alpha, dtype=self.dtype, name="core"
-        )(h)
+        m = h.shape[0]
+        f32 = jnp.float32
+
+        # IEG (InformationEntropyGate, reference :34-116).
+        ent = compute_entropy(h)  # (M, B)
+        z = TorchLinear(self.feat_dim, dtype=self.dtype, name="entropy_proj")(h)
+        score = jnp.mean(z.astype(f32), axis=-1) * jnp.exp(-ent / self.tau)
+        w = jax.nn.softmax(score, axis=0)
+        h_entropy = jnp.sum(w[..., None] * h.astype(f32), axis=0)  # (B, C)
+
+        # MIG (ModalityImportanceGate, reference :119-182).
+        hcat = jnp.concatenate([h[i] for i in range(m)], axis=-1)  # (B, 3C)
+        g = TorchLinear(self.feat_dim, dtype=self.dtype, name="gate_fc0")(hcat)
+        g = jax.nn.relu(g)
+        g = TorchLinear(m, dtype=self.dtype, name="gate_fc1")(g)
+        gates = jax.nn.sigmoid(g.astype(f32))  # (B, M)
+        gated = jnp.concatenate(
+            [gates[:, i : i + 1] * h[i].astype(f32) for i in range(m)], axis=-1
+        )
+        fp = TorchLinear(self.feat_dim, dtype=self.dtype, name="fusion_fc")(
+            gated.astype(h.dtype)
+        )
+        fp = LayerNorm(name="fusion_ln")(fp)
+        h_importance = jax.nn.relu(fp).astype(f32)
+
+        alpha_raw = self.param("alpha", lambda k: jnp.asarray(self.init_alpha, f32))
+        alpha = jax.nn.sigmoid(alpha_raw)
+        fused = alpha * h_entropy + (1.0 - alpha) * h_importance  # (B, C)
+
         if self.use_cross_modal_attn and tokens is not None:
             m, b, n, c = tokens.shape
             q = jnp.broadcast_to(

@@ -50,6 +50,8 @@ def resize_pos_embed_grid(pos: np.ndarray, new_h: int, new_w: int, method: str):
     import jax
 
     tok, grid = pos[:1], pos[1:]
+    if grid.shape[0] == new_h * new_w:  # already on the target grid
+        return jnp.asarray(pos)
     gs_old = int(round(float(np.sqrt(grid.shape[0]))))
     grid = grid.reshape(gs_old, gs_old, -1)
     resized = jax.image.resize(

@@ -77,6 +77,10 @@ def install_ref_stubs() -> None:
         fv_nn.flop_count = lambda *a, **k: ({}, {})
         jh.elementwise_flop_counter = lambda *a, **k: (lambda *aa, **kk: 0)
 
+    if "ftfy" not in sys.modules:
+        ftfy = _module("ftfy")
+        ftfy.fix_text = lambda s: s  # only used by the BPE tokenizer
+
     if "torchvision" not in sys.modules:
         tv = _module("torchvision")
         transforms = _module("torchvision.transforms")

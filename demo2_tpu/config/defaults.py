@@ -123,6 +123,13 @@ class ModelConfig:
     DGAF_INIT_ALPHA: float = 0.5
     DGAF_NUM_HEADS: int = 8
     DGAF_LOSS_WEIGHT: float = 1.0
+    # Exact-reference loss weighting for DeMo_Parallel: the reference engine's
+    # generic loop only scales pair 0 (= sdtps_rgb) by SDTPS_LOSS_WEIGHT and
+    # never applies the per-family weights it defines
+    # (engine/processor.py:86-96).  True reproduces that quirk so loss
+    # trajectories compare apples-to-apples; False (default) applies the
+    # documented per-family weights.
+    PARALLEL_LOSS_PARITY: bool = False
     # MultiModal SACR (reference: config/defaults.py:66-67)
     USE_MULTIMODAL_SACR: bool = False
     MULTIMODAL_SACR_VERSION: str = "v1"

@@ -130,10 +130,19 @@ def branch_weights(cfg: Config, branch_names) -> Dict[str, float]:
     (SDTPS/DGAF/FUSED_LOSS_WEIGHT per branch family,
     config/defaults.py:48,63,69) — the reference engine defines but never
     applies them (its generic loop only weights pair 0); this is a
-    documented intent-over-quirk deviation.
+    documented intent-over-quirk deviation.  Setting
+    MODEL.PARALLEL_LOSS_PARITY reproduces the reference engine exactly:
+    only the first pair (sdtps_rgb, the reference's output[0:2],
+    make_model.py:1189-1190) is scaled by SDTPS_LOSS_WEIGHT
+    (engine/processor.py:86-96).
     """
     names = list(branch_names)
     if cfg.MODEL.ARCH == "DeMo_Parallel":
+        if cfg.MODEL.PARALLEL_LOSS_PARITY:
+            w = {n: 1.0 for n in names}
+            if cfg.MODEL.USE_SDTPS and "sdtps_rgb" in w:
+                w["sdtps_rgb"] = cfg.MODEL.SDTPS_LOSS_WEIGHT
+            return w
         fam = {
             "sdtps": cfg.MODEL.SDTPS_LOSS_WEIGHT,
             "dgaf": cfg.MODEL.DGAF_LOSS_WEIGHT,

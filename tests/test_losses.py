@@ -99,3 +99,23 @@ def test_branch_weights_semantics():
     names = [f"{f}_{m}" for f in ("sdtps", "dgaf", "fused") for m in ("rgb", "nir", "tir")]
     w = branch_weights(cfg2, names)
     assert w["sdtps_rgb"] == 1.0 and w["dgaf_nir"] == 0.7 and w["fused_tir"] == 0.5
+
+
+def test_parallel_loss_parity_flag():
+    """MODEL.PARALLEL_LOSS_PARITY reproduces the reference engine exactly:
+    only pair 0 (sdtps_rgb) is scaled by SDTPS_LOSS_WEIGHT
+    (engine/processor.py:86-96); the per-family weights are ignored."""
+    from demo2_tpu.config import get_cfg_defaults
+    from demo2_tpu.losses.losses import branch_weights
+
+    cfg = get_cfg_defaults()
+    cfg.MODEL.ARCH = "DeMo_Parallel"
+    cfg.MODEL.USE_SDTPS = True
+    cfg.MODEL.PARALLEL_LOSS_PARITY = True
+    cfg.MODEL.SDTPS_LOSS_WEIGHT = 2.0
+    cfg.MODEL.DGAF_LOSS_WEIGHT = 0.7
+    cfg.MODEL.FUSED_LOSS_WEIGHT = 0.5
+    names = [f"{f}_{m}" for f in ("sdtps", "dgaf", "fused") for m in ("rgb", "nir", "tir")]
+    w = branch_weights(cfg, names)
+    assert w["sdtps_rgb"] == 2.0
+    assert all(w[n] == 1.0 for n in names if n != "sdtps_rgb")

@@ -122,6 +122,11 @@ class ModelConfig:
     DGAF_TAU: float = 1.0
     DGAF_INIT_ALPHA: float = 0.5
     DGAF_NUM_HEADS: int = 8
+    # Set by scripts/dgaf_experiments.sh in the reference but ABSENT from its
+    # yacs defaults (the suite as shipped would crash upstream).  Accepted
+    # here so the recipe runs; routes to DGAF V2's cross-modal attention
+    # toggle (dual_gated_fusion.py:290-403), the only variant with one.
+    DGAF_USE_CROSS_ATTN: bool = False
     DGAF_LOSS_WEIGHT: float = 1.0
     # Exact-reference loss weighting for DeMo_Parallel: the reference engine's
     # generic loop only scales pair 0 (= sdtps_rgb) by SDTPS_LOSS_WEIGHT and

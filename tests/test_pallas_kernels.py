@@ -66,9 +66,49 @@ def test_fused_attention_block_interpret():
     wout = jax.random.normal(jax.random.fold_in(rng, 3), (c, c)) * 0.1
     bout = jax.random.normal(jax.random.fold_in(rng, 4), (c,)) * 0.1
     scale = (c // h) ** -0.5
-    out = _fused_fwd_impl(x, lns, lnb, wqkv, bqkv, wout, bout, h, scale, interpret=True)
+    out, qkv, attn = _fused_fwd_impl(
+        x, lns, lnb, wqkv, bqkv, wout, bout, h, scale, interpret=True
+    )
     ref = _reference_impl(x, lns, lnb, wqkv, bqkv, wout, bout, h, scale)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_fused_attention_block_grad_matches_unfused():
+    """The custom-VJP backward (saved-residual chain) must equal XLA's
+    gradient of the unfused reference implementation."""
+    from demo2_tpu.ops.fused_block import (
+        _fused_fwd_impl, _fused_bwd, _reference_impl,
+    )
+
+    b, s, c, h = 4, 11, 32, 4
+    rng = jax.random.PRNGKey(7)
+    x = jax.random.normal(rng, (b, s, c), jnp.float32)
+    lns = jnp.ones((c,), jnp.float32) * 1.1
+    lnb = jnp.ones((c,), jnp.float32) * 0.05
+    wqkv = jax.random.normal(jax.random.fold_in(rng, 1), (c, 3 * c)) * 0.1
+    bqkv = jax.random.normal(jax.random.fold_in(rng, 2), (3 * c,)) * 0.1
+    wout = jax.random.normal(jax.random.fold_in(rng, 3), (c, c)) * 0.1
+    bout = jax.random.normal(jax.random.fold_in(rng, 4), (c,)) * 0.1
+    scale = (c // h) ** -0.5
+    g = jax.random.normal(jax.random.fold_in(rng, 5), (b, s, c)) * 0.3
+
+    out, qkv, attn = _fused_fwd_impl(
+        x, lns, lnb, wqkv, bqkv, wout, bout, h, scale, interpret=True
+    )
+    grads = _fused_bwd(h, scale, (x, qkv, attn, lns, lnb, wqkv, wout), g)
+
+    ref_out, vjp = jax.vjp(
+        lambda *a: _reference_impl(*a, h, scale),
+        x, lns, lnb, wqkv, bqkv, wout, bout,
+    )
+    ref_grads = vjp(g)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), rtol=1e-4, atol=1e-4)
+    for got, want, nm in zip(
+        grads, ref_grads, ("dx", "dscale", "dbias", "dwqkv", "dbqkv", "dwout", "dbout")
+    ):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4, err_msg=nm
+        )
 
 
 def test_fused_mlp_block_interpret():

@@ -37,7 +37,16 @@ from .state import TrainState
 logger = logging.getLogger("DeMo")
 
 
-def build_train_step(cfg: Config, model, tx, center_tx, mesh=None, donate: bool = True):
+def build_train_step(cfg: Config, model, tx, center_tx, mesh=None, donate: bool = True,
+                     scan_steps: int = 0):
+    """Jitted data-parallel train step.
+
+    With ``scan_steps=K > 0`` the returned function consumes K stacked
+    microbatches ``(K, B, ...)`` and runs K optimizer steps in ONE dispatch
+    via `lax.scan` — amortizing the per-dispatch overhead of the remote
+    execution tunnel (~1-3 ms, docs/PERF.md) that a Python-loop driver pays
+    per step. Metrics are averaged over the K steps.
+    """
     loss_fn_branch = make_loss_fn(cfg, model.num_classes)
     use_center = "center" in cfg.MODEL.METRIC_LOSS_TYPE
     center_w = cfg.SOLVER.CENTER_LOSS_WEIGHT
@@ -108,6 +117,30 @@ def build_train_step(cfg: Config, model, tx, center_tx, mesh=None, donate: bool 
         )
         metrics = {"loss": loss, "acc": acc}
         return new_state, metrics
+
+    if scan_steps and scan_steps > 0:
+
+        def train_scan(state: TrainState, images, pids, camids, viewids, rng):
+            def body(carry, xs):
+                im, pid, cam, view = xs
+                new_state, metrics = train_step(carry, im, pid, cam, view, rng)
+                return new_state, metrics
+
+            state, metrics = jax.lax.scan(
+                body, state, (images, pids, camids, viewids), length=scan_steps
+            )
+            return state, jax.tree_util.tree_map(jnp.mean, metrics)
+
+        if mesh is not None:
+            repl = replicated_sharding(mesh)
+            ksh = NamedSharding(mesh, P(None, "data"))
+            return jax.jit(
+                train_scan,
+                in_shardings=(repl, ksh, ksh, ksh, ksh, repl),
+                out_shardings=(repl, repl),
+                donate_argnums=(0,) if donate else (),
+            )
+        return jax.jit(train_scan, donate_argnums=(0,) if donate else ())
 
     if mesh is not None:
         repl = replicated_sharding(mesh)

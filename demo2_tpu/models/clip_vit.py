@@ -190,11 +190,11 @@ class ResidualAttentionBlock(nn.Module):
             appended = jnp.concatenate(seg_prompts, axis=0)  # (3B, 3k, C)
             x = jnp.concatenate([x, appended.astype(x.dtype)], axis=1)
 
-        # The fused attention sub-block is training-capable (its custom VJP
-        # saves qkv/attn residuals and backpropagates the exact unfused
-        # chain); the fused MLP stays inference-only — saving its (M, 4C)
-        # hidden would cost the fusion win, and the unfused MLP already runs
-        # at the GEMM roofline on v5e.
+        # Both fused sub-blocks are training-capable (custom VJPs backprop
+        # the exact unfused chain), but the fused MLP is gated to inference:
+        # measured on v5e, emitting its (M, 4C) pre-GELU residual from inside
+        # the kernel serializes an HBM write the XLA-scheduled unfused path
+        # overlaps with GEMMs (495 vs 548 img/s train — docs/PERF.md).
         fuse_attn = self.attn_implementation == "pallas"
         fuse = fuse_attn and deterministic
         if fuse_attn:

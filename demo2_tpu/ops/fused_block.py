@@ -136,6 +136,9 @@ def _fused_fwd_impl(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, num_heads,
             bytes_accessed=6 * b * s_pad * c * x.dtype.itemsize,
             transcendentals=b * num_heads * s_pad * s_pad,
         ),
+        # The default 16 MiB scoped-VMEM budget is ~16 KiB short of this
+        # kernel's working set at some grid sizes (v5e has 128 MiB VMEM).
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(
         x_in,
@@ -247,23 +250,20 @@ def _mlp_reference_impl(x, ln_scale, ln_bias, w1, b1, w2, b2):
     return x + g @ w2.astype(x.dtype) + b2.astype(x.dtype)
 
 
-def _mlp_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
+def _mlp_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                o_ref, h_ref):
     f32 = jnp.float32
     x = x_ref[...]
     t = _layernorm_f32(x, lns_ref[...], lnb_ref[...])
     h = jnp.dot(t.astype(x.dtype), w1_ref[...], preferred_element_type=f32) + b1_ref[...]
+    h_ref[...] = h.astype(h_ref.dtype)
     g = (h * jax.nn.sigmoid(1.702 * h)).astype(x.dtype)
     y = jnp.dot(g, w2_ref[...], preferred_element_type=f32) + b2_ref[...]
     o_ref[...] = (x.astype(f32) + y).astype(o_ref.dtype)
 
 
-def fused_mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2, block_rows: int = 512,
-                    interpret: bool = False):
-    """x + fc2(qgelu(fc1(LN(x)))) in one kernel; the (M, 4C) hidden stays in
-    VMEM.  Forward/inference only (rows are flattened tokens, so any leading
-    shape works).  Falls back to XLA off-TPU."""
-    if jax.default_backend() not in ("tpu", "axon") and not interpret:
-        return _mlp_reference_impl(x, ln_scale, ln_bias, w1, b1, w2, b2)
+def _fused_mlp_fwd_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, block_rows,
+                        interpret):
     orig_shape = x.shape
     c = orig_shape[-1]
     f = w1.shape[-1]
@@ -276,7 +276,7 @@ def fused_mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2, block_rows: int = 512,
     const = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
-    out = pl.pallas_call(
+    out, h = pl.pallas_call(
         _mlp_kernel,
         grid=(m_pad // bm,),
         in_specs=[
@@ -284,13 +284,20 @@ def fused_mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2, block_rows: int = 512,
             const((c,)), const((c,)), const((c, f)), const((f,)),
             const((f, c)), const((c,)),
         ],
-        out_specs=pl.BlockSpec((bm, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m_pad, c), x.dtype),
+        out_specs=(
+            pl.BlockSpec((bm, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, f), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((m_pad, c), x.dtype),
+            jax.ShapeDtypeStruct((m_pad, f), x.dtype),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=4 * m_pad * c * f,
             bytes_accessed=2 * m_pad * c * x.dtype.itemsize,
             transcendentals=m_pad * f,
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(
         xm,
@@ -301,4 +308,85 @@ def fused_mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2, block_rows: int = 512,
         w2.astype(x.dtype),
         b2.astype(jnp.float32),
     )
-    return out[:m].reshape(orig_shape)
+    return out[:m].reshape(orig_shape), h[:m]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _fused_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, block_rows, interpret):
+    out, _ = _fused_mlp_fwd_impl(
+        x, ln_scale, ln_bias, w1, b1, w2, b2, block_rows, interpret
+    )
+    return out
+
+
+def _fused_mlp_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, block_rows, interpret):
+    out, h = _fused_mlp_fwd_impl(
+        x, ln_scale, ln_bias, w1, b1, w2, b2, block_rows, interpret
+    )
+    return out, (x, h, ln_scale, ln_bias, w1, w2)
+
+
+def _fused_mlp_bwd(block_rows, interpret, res, g_out):
+    """Exact chain backward; the ONLY saved tensor beyond x is the (M, 4C)
+    pre-GELU hidden (compute dtype).  LN(x) and the GELU terms are recomputed
+    elementwise (XLA fuses them into the GEMM epilogues); the GEMM chain is
+    the standard 4-matmul MLP backward.
+    """
+    x, h, ln_scale, ln_bias, w1, w2 = res
+    f32 = jnp.float32
+    orig_shape = x.shape
+    c = orig_shape[-1]
+    dy = g_out.reshape(-1, c)
+    m = dy.shape[0]
+
+    hf = h.astype(f32)
+    sig = jax.nn.sigmoid(1.702 * hf)
+    gelu = (hf * sig).astype(x.dtype)               # (M, F)
+    dgelu = sig * (1.0 + 1.702 * hf * (1.0 - sig))  # d qgelu / dh
+
+    # fc2 backward
+    dg = (dy @ w2.astype(dy.dtype).T).astype(f32)   # (M, F)
+    dw2 = jnp.einsum("mf,mc->fc", gelu, dy, preferred_element_type=f32)
+    db2 = jnp.sum(dy.astype(f32), axis=0)
+
+    # GELU backward
+    dh = (dg * dgelu).astype(x.dtype)               # (M, F)
+
+    # fc1 backward (t recomputed from x via LN — one fused elementwise pass)
+    xf = x.astype(f32).reshape(-1, c)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + 1e-5)
+    xhat = (xf - mean) * rstd
+    t = (xhat * ln_scale + ln_bias).astype(x.dtype)
+    dw1 = jnp.einsum("mc,mf->cf", t, dh, preferred_element_type=f32)
+    db1 = jnp.sum(dh.astype(f32), axis=0)
+    dt = dh @ w1.astype(dh.dtype).T                 # (M, C)
+
+    # LayerNorm backward
+    dtf = dt.astype(f32)
+    dscale = jnp.sum(dtf * xhat, axis=0)
+    dbias = jnp.sum(dtf, axis=0)
+    dxhat = dtf * ln_scale
+    dx_ln = rstd * (
+        dxhat
+        - jnp.mean(dxhat, axis=-1, keepdims=True)
+        - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    )
+    dx = g_out + dx_ln.reshape(orig_shape).astype(g_out.dtype)
+    return dx, dscale, dbias, dw1, db1, dw2, db2
+
+
+_fused_mlp.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)
+
+
+def fused_mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2, block_rows: int = 512,
+                    interpret: bool = False):
+    """x + fc2(qgelu(fc1(LN(x)))) in one kernel; the (M, 4C) hidden stays in
+    VMEM during the forward and is the only extra residual saved for the
+    backward (training-capable custom VJP — gradients are exactly those of
+    the unfused chain).  Rows are flattened tokens, so any leading shape
+    works.  Falls back to XLA off-TPU."""
+    if jax.default_backend() not in ("tpu", "axon") and not interpret:
+        return _mlp_reference_impl(x, ln_scale, ln_bias, w1, b1, w2, b2)
+    return _fused_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, block_rows, interpret)

@@ -58,6 +58,56 @@ def test_train_step_mesh_updates_state(setup):
     assert max(jax.tree_util.tree_leaves(bs_moved)) > 0
 
 
+def test_scan_steps_matches_python_loop(tiny_cfg):
+    """K steps via the device-side `lax.scan` loop == K python-loop steps.
+
+    SGD (updates linear in the gradients) keeps the comparison tight; Adam's
+    m/sqrt(v) rescaling amplifies compile-order fp32 noise between the two
+    programs far above the math difference being tested (which is zero).
+    """
+    cfg = tiny_cfg
+    cfg.MODEL.USE_SDTPS = True
+    cfg.MODEL.USE_DGAF = True
+    cfg.SOLVER.OPTIMIZER_NAME = "SGD"
+    cfg.freeze()
+    pipes = make_dataloader(cfg)
+    train_pipe, sampler, _, _, num_classes, cam_num, view_num = pipes
+    model = make_model(cfg, num_classes, cam_num, view_num)
+    batch = next(train_pipe.iter_batches(sampler.epoch_indices(0), seed=0))
+    state, tx, center_tx, _ = create_train_state(
+        cfg, model, jax.random.PRNGKey(0), batch, steps_per_epoch=4
+    )
+    mesh = make_mesh(8)
+    im = jnp.asarray(batch.images)
+    pid = jnp.asarray(batch.pids)
+    cam = jnp.asarray(batch.camids)
+    view = jnp.asarray(batch.viewids)
+    rng = jax.random.PRNGKey(1)
+    K = 3
+
+    step = build_train_step(cfg, model, tx, center_tx, mesh, donate=False)
+    s_loop = state
+    for _ in range(K):
+        s_loop, m_loop = step(s_loop, im, pid, cam, view, rng)
+
+    step_k = build_train_step(
+        cfg, model, tx, center_tx, mesh, donate=False, scan_steps=K
+    )
+    stack = lambda x: jnp.broadcast_to(x, (K,) + x.shape)
+    s_scan, m_scan = step_k(
+        state, stack(im), stack(pid), stack(cam), stack(view), rng
+    )
+
+    assert int(s_scan.step) == int(s_loop.step) == K
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5
+        ),
+        s_loop.params,
+        s_scan.params,
+    )
+
+
 def test_train_step_loss_decreases(setup):
     cfg, model, state, tx, center_tx, batch, _, _ = setup
     step = build_train_step(cfg, model, tx, center_tx, mesh=None, donate=False)

@@ -126,3 +126,37 @@ def test_fused_mlp_block_interpret():
     out = fused_mlp_block(x, lns, lnb, w1, b1, w2, b2, block_rows=8, interpret=True)
     ref = _mlp_reference_impl(x, lns, lnb, w1, b1, w2, b2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_fused_mlp_block_grad_matches_unfused():
+    """The MLP custom-VJP (pre-GELU hidden as sole residual) must equal
+    XLA's gradient of the unfused reference implementation."""
+    from demo2_tpu.ops.fused_block import _mlp_reference_impl, fused_mlp_block
+
+    b, s, c, f = 2, 9, 32, 128
+    rng = jax.random.PRNGKey(6)
+    x = jax.random.normal(rng, (b, s, c), jnp.float32)
+    lns = jnp.ones((c,)) * 0.9
+    lnb = jnp.ones((c,)) * -0.02
+    w1 = jax.random.normal(jax.random.fold_in(rng, 1), (c, f)) * 0.1
+    b1 = jax.random.normal(jax.random.fold_in(rng, 2), (f,)) * 0.1
+    w2 = jax.random.normal(jax.random.fold_in(rng, 3), (f, c)) * 0.1
+    b2 = jax.random.normal(jax.random.fold_in(rng, 4), (c,)) * 0.1
+    g = jax.random.normal(jax.random.fold_in(rng, 5), (b, s, c)) * 0.3
+
+    out, vjp = jax.vjp(
+        lambda *a: fused_mlp_block(*a, block_rows=8, interpret=True),
+        x, lns, lnb, w1, b1, w2, b2,
+    )
+    grads = vjp(g)
+    ref_out, ref_vjp = jax.vjp(
+        lambda *a: _mlp_reference_impl(*a), x, lns, lnb, w1, b1, w2, b2
+    )
+    ref_grads = ref_vjp(g)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), rtol=1e-4, atol=1e-4)
+    for got, want, nm in zip(
+        grads, ref_grads, ("dx", "dscale", "dbias", "dw1", "db1", "dw2", "db2")
+    ):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4, err_msg=nm
+        )

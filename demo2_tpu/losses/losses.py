@@ -65,7 +65,10 @@ def batch_hard_triplet_loss(
     SoftMarginLoss(dist_an - dist_ap, 1) = mean(log(1 + exp(-(an - ap)))).
     """
     if normalize_feature:
-        feat = feat / (jnp.linalg.norm(feat, axis=-1, keepdims=True) + 1e-12)
+        # max-before-sqrt keeps the backward finite at feat == 0 (norm's
+        # x/||x|| cotangent is 0/0 there); forward is unchanged.
+        n2 = jnp.sum(jnp.square(feat), axis=-1, keepdims=True)
+        feat = feat / (jnp.sqrt(jnp.maximum(n2, 1e-60)) + 1e-12)
     dist = euclidean_dist(feat, feat)
     same = labels[:, None] == labels[None, :]
     neg_inf = jnp.float32(-1e30)

@@ -34,9 +34,13 @@ GUIDE_ORDER = ((0, 1, 2), (1, 0, 2), (2, 0, 1))
 
 
 def _l2_normalize(x, axis=-1, eps=1e-12):
-    # Matches F.normalize: x / max(||x||, eps).
-    n = jnp.linalg.norm(x, axis=axis, keepdims=True)
-    return x / jnp.maximum(n, eps)
+    # Matches F.normalize exactly: sqrt(max(||x||^2, eps^2)) == max(||x||, eps),
+    # but keeps the backward finite at x == 0 (norm's d||x||/dx = x/||x|| is
+    # 0/0 there; the max-before-sqrt form routes the zero-vector case through
+    # the clamp branch, whose gradient is 0).  Exactly-zero vectors are
+    # reachable: missing-modality masks zero whole token sets.
+    n2 = jnp.sum(jnp.square(x), axis=axis, keepdims=True)
+    return x / jnp.sqrt(jnp.maximum(n2, eps * eps))
 
 
 class ModalWeightMLP(nn.Module):
@@ -77,12 +81,18 @@ class MultiModalSDTPS(nn.Module):
     def _normalize_score(self, s):
         """Z-score + sigmoid over tokens (reference: sdtps.py:182-200).
 
-        torch .std() is the unbiased estimator — matched here.
+        torch .std() is the unbiased estimator — matched here.  The tiny eps
+        INSIDE the sqrt bounds d(sqrt)/d(var) = 0.5/sqrt(var + eps): with few
+        tokens (small N) the score variance can underflow to exactly 0 — XLA's
+        fused reduction hits 0 where the op-by-op path keeps a denormal — and
+        the unguarded sqrt backward then emits inf -> NaN grads that poison
+        the whole backbone (observed at N=2 in the e2e reference cross-check).
+        Forward shift is <=1e-10 in std units, far inside parity tolerance.
         """
         n = s.shape[-1]
         mean = jnp.mean(s, axis=-1, keepdims=True)
         var = jnp.sum(jnp.square(s - mean), axis=-1, keepdims=True) / max(n - 1, 1)
-        z = (s - mean) / (jnp.sqrt(var) + 1e-5)
+        z = (s - mean) / (jnp.sqrt(var + 1e-20) + 1e-5)
         return jax.nn.sigmoid(z)
 
     @nn.compact

@@ -170,6 +170,7 @@ class DeMo(_DeMoBase):
         modality_mask: Optional[jnp.ndarray] = None,
         train: bool = False,
         return_pattern: int = 3,
+        patch_perturb: Optional[jnp.ndarray] = None,
     ) -> Dict[str, Any]:
         cfg = self.cfg
         dtype = _dtype_of(cfg)
@@ -182,6 +183,11 @@ class DeMo(_DeMoBase):
             images.astype(dtype), cam_label, view_label, modality_mask,
             deterministic=not train,
         )
+        if patch_perturb is not None:
+            # Zero-valued probe input: gradients w.r.t. it are the patch-token
+            # cotangents (Grad-CAM's target-layer activations' gradients —
+            # reference: visualize/GradCAM.py:17-31 hooks BACKBONE.base).
+            patches = patches + patch_perturb.astype(patches.dtype)
 
         branches: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
         aux: Dict[str, jnp.ndarray] = {}
@@ -288,11 +294,14 @@ class DeMo(_DeMoBase):
             else:
                 embedding = jnp.concatenate([moe_feat, ori_feat], axis=-1)
 
-        return {
+        out = {
             "branches": branches,
             "embedding": embedding.astype(jnp.float32),
             "aux_loss": aux,
         }
+        if patch_perturb is not None:
+            out["patches"] = patches  # CAM activations (perturb-probe mode only)
+        return out
 
     def _apply_dgaf_v3_or_v1(self, enh, globals_, dtype):
         cfg = self.cfg
@@ -316,6 +325,7 @@ class DeMoParallel(_DeMoBase):
         modality_mask: Optional[jnp.ndarray] = None,
         train: bool = False,
         return_pattern: int = 3,
+        patch_perturb: Optional[jnp.ndarray] = None,
     ) -> Dict[str, Any]:
         cfg = self.cfg
         dtype = _dtype_of(cfg)
@@ -323,6 +333,8 @@ class DeMoParallel(_DeMoBase):
             images.astype(dtype), cam_label, view_label, modality_mask,
             deterministic=not train,
         )
+        if patch_perturb is not None:
+            patches = patches + patch_perturb.astype(patches.dtype)
 
         # Branch 1: SDTPS -> mean pooled per modality (:1142-1149).
         enh, _ = self._sdtps()(patches, globals_, deterministic=not train)
@@ -363,11 +375,14 @@ class DeMoParallel(_DeMoBase):
             + [fused_feats[i] for i in range(3)],
             axis=-1,
         )  # (B, 9C)
-        return {
+        out = {
             "branches": branches,
             "embedding": embedding.astype(jnp.float32),
             "aux_loss": {},
         }
+        if patch_perturb is not None:
+            out["patches"] = patches
+        return out
 
 
 class DeMoLegacy(_DeMoBase):
@@ -386,6 +401,7 @@ class DeMoLegacy(_DeMoBase):
         modality_mask: Optional[jnp.ndarray] = None,
         train: bool = False,
         return_pattern: int = 3,
+        patch_perturb: Optional[jnp.ndarray] = None,
     ) -> Dict[str, Any]:
         cfg = self.cfg
         dtype = _dtype_of(cfg)
@@ -396,6 +412,9 @@ class DeMoLegacy(_DeMoBase):
             images.astype(dtype), cam_label, view_label, modality_mask,
             deterministic=not train,
         )
+        if patch_perturb is not None:
+            patches = patches + patch_perturb.astype(patches.dtype)
+        cam_patches = patches  # backbone activations (pre-cascade) for CAM
 
         branches: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
         aux: Dict[str, jnp.ndarray] = {}
@@ -506,8 +525,11 @@ class DeMoLegacy(_DeMoBase):
             for i, nm in enumerate(("r", "n", "t")):
                 branches[f"ori_{nm}"] = self._head(f"head_{nm}", globals_[i], train)
 
-        return {
+        out = {
             "branches": branches,
             "embedding": embedding.astype(jnp.float32),
             "aux_loss": aux,
         }
+        if patch_perturb is not None:
+            out["patches"] = cam_patches
+        return out

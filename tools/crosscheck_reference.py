@@ -270,9 +270,13 @@ def main():
     (out / "crosscheck.json").write_text(json.dumps(report, indent=2))
     print(json.dumps(report, indent=2))
 
-    assert mAP_jax > mAP0_jax + 0.05, "JAX model failed to learn"
-    assert mAP_ref > mAP0_jax + 0.05, "reference model failed to learn"
-    assert abs(mAP_jax - mAP_ref) < 0.10, (
+    # Learning bar calibrated to what the TORCH REFERENCE itself achieves in
+    # 12 tiny-config epochs (~+0.023 mAP over untrained; the first run of this
+    # check showed +0.05 is unreachable for either framework at this scale).
+    assert mAP_jax > mAP0_jax + 0.015, "JAX model failed to learn"
+    assert mAP_ref > mAP0_jax + 0.015, "reference model failed to learn"
+    assert all(np.isfinite(jax_losses)), "JAX training produced non-finite loss"
+    assert abs(mAP_jax - mAP_ref) < 0.05, (
         f"mAP band exceeded: jax {mAP_jax:.4f} vs torch {mAP_ref:.4f}"
     )
     print("CROSSCHECK PASS", flush=True)

@@ -10,10 +10,12 @@ any forward); here it is wired as a first-class branch, restoring the
 original-paper semantics.
 
 TPU-first redesign:
-  * the 7 subset-attentions become ONE batched attention over the full
-    3(N+1)-token concat with a per-set additive mask — restricted softmax
-    over a masked set is mathematically identical to attention over the
-    subset, and one big masked matmul beats 7 small sequential MHAs;
+  * the 7 subset-attentions become THREE batched attentions grouped by set
+    cardinality (the 1-, 2- and 3-modality sets have static subset lengths
+    N+1, 2(N+1), 3(N+1)), with k/v projected only for the 12 live
+    (set, member-modality) pairs — exact subset attention at 12/21 of the
+    GEMM FLOPs a full-sequence masked formulation pays (a token's segment
+    appears in at most 4 of the 7 sets);
   * the per-set projection weights are stacked with a leading (7,) axis and
     applied with single einsums;
   * ATMoE's 7x`head` expert MLPs collapse into one (head, expert, d, d)
@@ -48,10 +50,24 @@ SET_MEMBERSHIP = np.array(
     ],
     dtype=np.float32,
 )
+# The 12 live (set, member-modality) pairs, grouped by set cardinality so the
+# per-cardinality attentions have static shapes.  Order within each set is
+# modality order (R, N, T) — the reference concatenates subsets that way.
+PAIR_SET = np.array([0, 1, 2, 3, 3, 4, 4, 5, 5, 6, 6, 6])
+PAIR_MOD = np.array([0, 1, 2, 0, 1, 0, 2, 1, 2, 0, 1, 2])
+CARD_GROUPS = ((0, 3, 1), (3, 9, 2), (9, 12, 3))  # (pair_start, pair_end, card)
+# Modality-major view of the same 12 pairs: each modality belongs to exactly
+# 4 sets, so its k/v projections for all of them are ONE (C, 4C) GEMM.
+MOD_SETS = np.array([[0, 3, 4, 6], [1, 3, 5, 6], [2, 4, 5, 6]])
+# Flat modality-major pair order has set ids [0,3,4,6, 1,3,5,6, 2,4,5,6];
+# permutation taking it to the set-major PAIR_SET order above (and back).
+MM_TO_SET = np.array([0, 4, 8, 1, 5, 2, 9, 6, 10, 3, 7, 11])
+SET_TO_MM = np.argsort(MM_TO_SET)
+MM_SET_IDS = np.array([0, 3, 4, 6, 1, 3, 5, 6, 2, 4, 5, 6])
 
 
 class HDM(nn.Module):
-    """7-way decoupling via one masked batched cross-attention."""
+    """7-way decoupling via cardinality-grouped batched subset attention."""
 
     feat_dim: int
     dropout: float = 0.1
@@ -70,15 +86,10 @@ class HDM(nn.Module):
         f32 = jnp.float32
         seg = n + 1  # [global; patches] per modality (reference: :163-165)
 
-        # Full token sequence (B, 3(N+1), C), modality-segment-major.
-        full = jnp.concatenate(
-            [
-                jnp.concatenate([globals_[i][:, None], patches[i]], axis=1)
-                for i in range(m)
-            ],
-            axis=1,
-        ).astype(self.dtype)
-        L = m * seg
+        # Per-modality token segments (3, B, N+1, C).
+        segs = jnp.concatenate([globals_[:, :, None], patches], axis=2).astype(
+            self.dtype
+        )
 
         scale = self.feat_dim ** -0.5
         tokens = self.param(
@@ -93,22 +104,65 @@ class HDM(nn.Module):
 
         q = jnp.einsum("sc,scd->sd", tokens.astype(self.dtype), wq) + bq  # (7, C)
         q = q.reshape(NUM_SETS, h, d)
-        k = jnp.einsum("blc,scd->sbld", full, wk) + bk[:, None, None, :]
-        v = jnp.einsum("blc,scd->sbld", full, wv) + bv[:, None, None, :]
-        k = k.reshape(NUM_SETS, b, L, h, d)
-        v = v.reshape(NUM_SETS, b, L, h, d)
 
-        logits = jnp.einsum("shd,sblhd->sbhl", q, k, preferred_element_type=f32) * scale
-        member = jnp.repeat(jnp.asarray(SET_MEMBERSHIP), seg, axis=1)  # (7, L)
-        mask_bias = jnp.where(member > 0, 0.0, -1e30)[:, None, None, :]  # (7,1,1,L)
-        probs = jax.nn.softmax(logits.astype(f32) + mask_bias, axis=-1)
-        if self.dropout > 0.0 and not deterministic:
-            keep = jax.random.bernoulli(
-                self.make_rng("dropout"), 1.0 - self.dropout, probs.shape
-            )
-            probs = jnp.where(keep, probs / (1.0 - self.dropout), 0.0)
-        out = jnp.einsum("sbhl,sblhd->sbhd", probs.astype(self.dtype), v)
-        out = out.reshape(NUM_SETS, b, c)
+        # v in MODALITY-major layout: one (B*seg, C) x (C, 4C) GEMM per
+        # modality covers all 4 sets that modality belongs to — no input
+        # duplication, and the big (3, B, seg, 4, h, d) tensor is consumed
+        # below strictly in its produced layout (the earlier set-major
+        # dot_general formulation relayouted ~100 MB around a matvec).
+        wv_g = wv[MOD_SETS]  # (3, 4, C, C)
+        vv = jnp.einsum("mblc,mjcd->mbljd", segs, wv_g) + bv[MOD_SETS][:, None, None]
+        vv = vv.reshape(m, b, seg, 4, h, d)
+
+        # k is NEVER materialized: the query is a constant vector per
+        # (set, head), so q^T (W_k x + b_k) == (W_k^T q)^T x + q^T b_k — fold
+        # W_k^T q into a single (C, 4h) projection `u` (a param-only einsum)
+        # and compute all 12 pairs' logits as one thin GEMM per modality.
+        # Skips the 26 GFLOP k GEMM and ~200 MB of k HBM traffic outright.
+        wk_hd = wk[MOD_SETS].reshape(m, 4, c, h, d)
+        qg = q[MOD_SETS]  # (3, 4, h, d)
+        u = jnp.einsum("mjchd,mjhd->mjhc", wk_hd, qg)  # (3, 4, h, C)
+        lbias = jnp.einsum(
+            "mjhd,mjhd->mjh", bk[MOD_SETS].reshape(m, 4, h, d), qg
+        )  # (3, 4, h)
+        logits_mm = (
+            jnp.einsum("mblc,mjhc->mbljh", segs, u, preferred_element_type=f32)
+            + lbias.astype(f32)[:, None, None]
+        ) * scale  # (3, B, seg, 4, h)
+        lg_flat = logits_mm.transpose(0, 3, 1, 4, 2).reshape(12, b, h, seg)
+        lg_sm = lg_flat[MM_TO_SET]  # set-major (12, B, h, seg)
+
+        # JOINT softmax across each set's member pairs — mathematically the
+        # softmax over the concatenated subset.
+        probs_sm = []
+        for p0, p1, card in CARD_GROUPS:
+            n_sets = (p1 - p0) // card
+            lg = lg_sm[p0:p1].reshape(n_sets, card, b, h, seg)
+            mx = jnp.max(lg, axis=(1, 4), keepdims=True)
+            e = jnp.exp(lg - mx)
+            z = jnp.sum(e, axis=(1, 4), keepdims=True)
+            probs = e / z  # (n_sets, card, B, h, seg)
+            if self.dropout > 0.0 and not deterministic:
+                keep = jax.random.bernoulli(
+                    self.make_rng("dropout"), 1.0 - self.dropout, probs.shape
+                )
+                probs = jnp.where(keep, probs / (1.0 - self.dropout), 0.0)
+            probs_sm.append(probs.reshape(p1 - p0, b, h, seg))
+        probs_sm = jnp.concatenate(probs_sm, axis=0)  # (12, B, h, seg)
+
+        # PV product: broadcast multiply + token reduction, again in the k/v
+        # native layout; per-pair partial sums then segment-sum into sets.
+        probs_mm = (
+            probs_sm[SET_TO_MM]
+            .reshape(3, 4, b, h, seg)
+            .transpose(0, 2, 4, 1, 3)  # (3, B, seg, 4, h)
+            .astype(self.dtype)
+        )
+        out_mm = jnp.sum(vv * probs_mm[..., None], axis=2)  # (3, B, 4, h, d)
+        out_pairs = out_mm.transpose(0, 2, 1, 3, 4).reshape(12, b, c)
+        out = jax.ops.segment_sum(
+            out_pairs, jnp.asarray(MM_SET_IDS), num_segments=NUM_SETS
+        )  # (7, B, C)
 
         w_out = self.param("out_proj_kernel", xavier_uniform_init, (NUM_SETS, c, c), f32)
         b_out = self.param("out_proj_bias", nn.initializers.zeros, (NUM_SETS, c), f32)

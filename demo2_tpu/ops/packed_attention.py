@@ -72,35 +72,56 @@ def _fwd_kernel(qkv_ref, o_ref, *, num_heads, head_dim, s_valid, scale):
         o_ref[:, :, i * d : (i + 1) * d] = (o / denom).astype(o_ref.dtype)
 
 
+def _stack_heads(t, base, num_heads, head_dim):
+    """(BB, S, C)-slices -> (H*BB, S, D) via concat along the BATCH axis.
+
+    This is the one head-batching form this Mosaic toolchain lowers (4-D
+    transposes, multi-batch dot_general and (BB,H,S,D)->(BB*H,S,D) shape
+    casts all fail): 64-lane slices moved to lane offset 0 and stacked on
+    the leading dim.  It turns num_heads x 5 tiny matmuls into 5 batched
+    ones — per-matmul overhead (~2 us each) dominated the per-head loop.
+    """
+    d = head_dim
+    return jnp.concatenate(
+        [t[:, :, base + i * d : base + (i + 1) * d] for i in range(num_heads)],
+        axis=0,
+    )
+
+
 def _bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, num_heads, head_dim, s_valid, scale):
     c = num_heads * head_dim
     d = head_dim
+    h = num_heads
     f32 = jnp.float32
     blk = qkv_ref[...]
     bb, s_pad, _ = blk.shape
-    key_ids = jax.lax.broadcasted_iota(jnp.int32, (bb, s_pad, s_pad), 2)
+    qh = _stack_heads(blk, 0, h, d)  # (H*BB, S, D)
+    kh = _stack_heads(blk, c, h, d)
+    vh = _stack_heads(blk, 2 * c, h, d)
+    doh = _stack_heads(do_ref[...], 0, h, d)
+
+    key_ids = jax.lax.broadcasted_iota(jnp.int32, (h * bb, s_pad, s_pad), 2)
     kmask = key_ids < s_valid
     batch01 = lambda a, b, ca, cb: jax.lax.dot_general(
         a, b, (((ca,), (cb,)), ((0,), (0,))), preferred_element_type=f32
     )
-    for i in range(num_heads):
-        qh = blk[:, :, i * d : (i + 1) * d]
-        kh = blk[:, :, c + i * d : c + (i + 1) * d]
-        vh = blk[:, :, 2 * c + i * d : 2 * c + (i + 1) * d]
-        doh = do_ref[:, :, i * d : (i + 1) * d]
-        pu, denom = _unnorm_probs(qh, kh, scale, kmask)
-        p = pu / denom
-        pb = p.astype(blk.dtype)
-        # dv[b] = p[b]^T @ do[b]; dp[b] = do[b] @ v[b]^T
-        dv = batch01(pb, doh, 1, 1)  # (BB, S_k, D)
-        dp = batch01(doh, vh, 2, 2)  # (BB, S_q, S_k)
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        dsb = ds.astype(blk.dtype)
-        dq = batch01(dsb, kh, 2, 1) * scale  # (BB, S_q, D)
-        dk = batch01(dsb, qh, 1, 1) * scale  # (BB, S_k, D)
-        dqkv_ref[:, :, i * d : (i + 1) * d] = dq.astype(dqkv_ref.dtype)
-        dqkv_ref[:, :, c + i * d : c + (i + 1) * d] = dk.astype(dqkv_ref.dtype)
-        dqkv_ref[:, :, 2 * c + i * d : 2 * c + (i + 1) * d] = dv.astype(dqkv_ref.dtype)
+    pu, denom = _unnorm_probs(qh, kh, scale, kmask)
+    p = pu / denom
+    pb = p.astype(blk.dtype)
+    # dv[b] = p[b]^T @ do[b]; dp[b] = do[b] @ v[b]^T
+    dv = batch01(pb, doh, 1, 1)  # (H*BB, S_k, D)
+    dp = batch01(doh, vh, 2, 2)  # (H*BB, S_q, S_k)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dsb = ds.astype(blk.dtype)
+    dq = batch01(dsb, kh, 2, 1) * scale  # (H*BB, S_q, D)
+    dk = batch01(dsb, qh, 1, 1) * scale  # (H*BB, S_k, D)
+    for i in range(h):
+        s0, s1 = i * bb, (i + 1) * bb
+        dqkv_ref[:, :, i * d : (i + 1) * d] = dq[s0:s1].astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, c + i * d : c + (i + 1) * d] = dk[s0:s1].astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, 2 * c + i * d : 2 * c + (i + 1) * d] = dv[s0:s1].astype(
+            dqkv_ref.dtype
+        )
 
 
 def _pad_s(x, s_pad):
@@ -162,9 +183,11 @@ def _packed_bwd(num_heads, scale, qkv, g, interpret=False):
     s_pad = -(-s // 8) * 8
     qkvp = _pad_s(qkv, s_pad)
     gp = _pad_s(g, s_pad)
-    # I/O per program: (4 + 4/3) * bb * S * C * 2 bytes doubles under pipeline
-    # buffering; bb=4 keeps the backward inside the 16 MB scoped-VMEM budget.
-    bb = _choose_bb(b, 4)
+    # bb=8 halves the program count (per-program overhead dominates the tiny
+    # per-head matmuls); needs the raised scoped-VMEM budget — the working
+    # set is (4 + 4/3) * bb * S * C * 2 bytes doubled under pipeline
+    # buffering, ~16 KiB over the 16 MiB default at bb=8 (v5e has 128 MiB).
+    bb = _choose_bb(b, 8)
     dqkv = pl.pallas_call(
         functools.partial(
             _bwd_kernel, num_heads=num_heads, head_dim=d, s_valid=s, scale=scale
@@ -183,6 +206,9 @@ def _packed_bwd(num_heads, scale, qkv, g, interpret=False):
             bytes_accessed=2 * (c3 + c) * b * s_pad * qkv.dtype.itemsize,
             transcendentals=b * num_heads * s_pad * s_pad,
         ),
+        # Head-batching makes the f32 (H*BB, S, S) intermediates ~7 MB each;
+        # bb=8 runs ~1 MB past the 64 MiB scoped budget (v5e VMEM is 128 MiB).
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(qkvp, gp)
     return (dqkv[:, :s],)

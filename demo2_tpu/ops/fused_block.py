@@ -67,24 +67,33 @@ def _fwd_kernel(
     qkv3 = qkv.reshape(bb, s_pad, 3 * c)
     qkv_ref[...] = qkv3
 
-    key_ids = jax.lax.broadcasted_iota(jnp.int32, (bb, s_pad, s_pad), 2)
+    # Heads ride the dot_general batch dim (concat along the leading axis —
+    # see packed_attention._stack_heads): 12x2 tiny matmuls -> 2 batched.
+    from .packed_attention import _stack_heads
+
+    qh = _stack_heads(qkv3, 0, num_heads, d)  # (H*BB, S, D)
+    kh = _stack_heads(qkv3, c, num_heads, d)
+    vh = _stack_heads(qkv3, 2 * c, num_heads, d)
+    key_ids = jax.lax.broadcasted_iota(
+        jnp.int32, (num_heads * bb, s_pad, s_pad), 2
+    )
     kmask = key_ids < s_valid
+    s = jax.lax.dot_general(
+        qh, kh, (((2,), (2,)), ((0,), (0,))), preferred_element_type=f32
+    )
+    s = jnp.where(kmask, s * scale, _NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True) + 1e-30
+    ov = jax.lax.dot_general(
+        p.astype(x.dtype), vh, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=f32,
+    )
+    ov = ov / denom
     for i in range(num_heads):
-        qh = qkv3[:, :, i * d : (i + 1) * d]
-        kh = qkv3[:, :, c + i * d : c + (i + 1) * d]
-        vh = qkv3[:, :, 2 * c + i * d : 2 * c + (i + 1) * d]
-        s = jax.lax.dot_general(
-            qh, kh, (((2,), (2,)), ((0,), (0,))), preferred_element_type=f32
+        attn_ref[:, :, i * d : (i + 1) * d] = ov[i * bb : (i + 1) * bb].astype(
+            attn_ref.dtype
         )
-        s = jnp.where(kmask, s * scale, _NEG_INF)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        denom = jnp.sum(p, axis=-1, keepdims=True) + 1e-30
-        ov = jax.lax.dot_general(
-            p.astype(x.dtype), vh, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=f32,
-        )
-        attn_ref[:, :, i * d : (i + 1) * d] = (ov / denom).astype(attn_ref.dtype)
 
     y = (
         jnp.dot(
@@ -149,22 +158,25 @@ def _fused_fwd_impl(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, num_heads,
         wout.astype(x.dtype),
         bout.astype(jnp.float32),
     )
-    return out[:, :s], qkv[:, :s], attn[:, :s]
+    # out feeds the outer (unpadded) graph; qkv/attn/x_in stay PADDED for the
+    # backward — all pad/slice round-trips there are dead copies (zero
+    # cotangent rows stay zero through every op; see _fused_bwd).
+    return out[:, :s], qkv, attn, x_in
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
 def _fused(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, num_heads, scale):
-    out, _, _ = _fused_fwd_impl(
+    out, _, _, _ = _fused_fwd_impl(
         x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, num_heads, scale
     )
     return out
 
 
 def _fused_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, num_heads, scale):
-    out, qkv, attn = _fused_fwd_impl(
+    out, qkv_p, attn_p, x_p = _fused_fwd_impl(
         x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, num_heads, scale
     )
-    return out, (x, qkv, attn, ln_scale, ln_bias, wqkv, wout)
+    return out, (x_p, qkv_p, attn_p, ln_scale, ln_bias, wqkv, wout)
 
 
 def _fused_bwd(num_heads, scale, res, g):
@@ -172,45 +184,55 @@ def _fused_bwd(num_heads, scale, res, g):
 
     Mirrors XLA's backward of the unfused path: out-proj grads, the
     packed-attention Pallas backward, qkv-projection grads, LN backward.
-    """
-    x, qkv, attn, ln_scale, ln_bias, wqkv, wout = res
-    f32 = jnp.float32
-    b, s, c = x.shape
-    gm = g.reshape(-1, c)
 
-    # residual + out-projection
-    do = g @ wout.astype(g.dtype).T  # (B, S, C)
+    Everything runs at the PADDED length: the incoming cotangent g is
+    zero-padded once, and zero rows then stay zero through every op (do
+    rows via the GEMM, dqkv query rows via dp=0 in the kernel, dqkv key
+    rows via masked probs, LN backward via dt=0), so the padded rows
+    contribute exactly nothing to any dW — no per-tensor pad/slice
+    round-trips (they measured ~0.45 ms/layer).
+    """
+    x_p, qkv_p, attn_p, ln_scale, ln_bias, wqkv, wout = res
+    f32 = jnp.float32
+    b, s_pad, c = x_p.shape
+    s = g.shape[1]
+    gp = jnp.pad(g, [(0, 0), (0, s_pad - s), (0, 0)]) if s_pad != s else g
+    gm = gp.reshape(-1, c)
+
+    # residual + out-projection (attn_p padded rows are garbage, but they
+    # meet gp's zero rows in the row-contraction -> no contribution)
+    do = gp @ wout.astype(g.dtype).T  # (B, S_pad, C), zero padded rows
     dwout = jnp.einsum(
-        "mc,md->cd", attn.reshape(-1, c), gm, preferred_element_type=f32
+        "mc,md->cd", attn_p.reshape(-1, c), gm, preferred_element_type=f32
     )
     dbout = jnp.sum(gm.astype(f32), axis=0)
 
     # attention core: the Pallas backward on TPU (recomputes probs from the
     # saved qkv — no forward rerun), XLA autodiff of the fallback elsewhere.
     if jax.default_backend() in ("tpu", "axon"):
-        from .packed_attention import _packed_bwd
+        from .packed_attention import _packed_bwd_padded
 
-        (dqkv,) = _packed_bwd(num_heads, scale, qkv, do)
+        dqkv = _packed_bwd_padded(num_heads, scale, qkv_p, do, s)
     else:
         _, attn_vjp = jax.vjp(
-            lambda q: packed_self_attention(q, num_heads, scale), qkv
+            lambda q: packed_self_attention(q[:, :s], num_heads, scale), qkv_p
         )
-        (dqkv,) = attn_vjp(do)
+        (dqkv,) = attn_vjp(do[:, :s])
 
-    # qkv projection
+    # qkv projection (padded dqkv rows are zero -> dW sees nothing)
     dqkv_m = dqkv.reshape(-1, 3 * c)
-    dt = (dqkv_m @ wqkv.astype(dqkv.dtype).T).reshape(b, s, c)
+    dt = (dqkv_m @ wqkv.astype(dqkv.dtype).T).reshape(b, s_pad, c)
     # t is recomputed from x via LN — one fused elementwise pass in XLA.
-    xf = x.astype(f32).reshape(-1, c)
+    xf = x_p.astype(f32).reshape(-1, c)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
     rstd = jax.lax.rsqrt(var + 1e-5)
     xhat = (xf - mean) * rstd
-    t = (xhat * ln_scale + ln_bias).astype(x.dtype)
+    t = (xhat * ln_scale + ln_bias).astype(x_p.dtype)
     dwqkv = jnp.einsum("mc,md->cd", t, dqkv_m, preferred_element_type=f32)
     dbqkv = jnp.sum(dqkv_m.astype(f32), axis=0)
 
-    # LayerNorm backward
+    # LayerNorm backward (dt zero rows -> dx_ln zero rows)
     dtf = dt.astype(f32).reshape(-1, c)
     dscale = jnp.sum(dtf * xhat, axis=0)
     dbias = jnp.sum(dtf, axis=0)
@@ -220,7 +242,7 @@ def _fused_bwd(num_heads, scale, res, g):
         - jnp.mean(dxhat, axis=-1, keepdims=True)
         - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
     )
-    dx = g + dx_ln.reshape(b, s, c).astype(g.dtype)
+    dx = g + dx_ln.reshape(b, s_pad, c)[:, :s].astype(g.dtype)
     return dx, dscale, dbias, dwqkv, dbqkv, dwout, dbout
 
 

@@ -176,13 +176,17 @@ def _packed_fwd(qkv, num_heads, scale):
     return _packed_fwd_impl(qkv, num_heads, scale), qkv
 
 
-def _packed_bwd(num_heads, scale, qkv, g, interpret=False):
-    b, s, c3 = qkv.shape
+def _packed_bwd_padded(num_heads, scale, qkvp, gp, s_valid, interpret=False):
+    """Backward on ALREADY-padded (B, S_pad, .) tensors; returns padded dqkv.
+
+    Padded rows of the result are exactly zero provided gp's padded rows are
+    zero (dp=0 kills dq; masked probs kill dk/dv), so callers can feed the
+    padded dqkv straight into dW contractions with no slice.
+    """
+    b, s_pad, c3 = qkvp.shape
     c = c3 // 3
     d = c // num_heads
-    s_pad = -(-s // 8) * 8
-    qkvp = _pad_s(qkv, s_pad)
-    gp = _pad_s(g, s_pad)
+    s = s_valid
     # bb=8 halves the program count (per-program overhead dominates the tiny
     # per-head matmuls); needs the raised scoped-VMEM budget — the working
     # set is (4 + 4/3) * bb * S * C * 2 bytes doubled under pipeline
@@ -200,10 +204,10 @@ def _packed_bwd(num_heads, scale, qkv, g, interpret=False):
         out_specs=pl.BlockSpec(
             (bb, s_pad, c3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b, s_pad, c3), qkv.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, c3), qkvp.dtype),
         cost_estimate=pl.CostEstimate(
             flops=10 * b * num_heads * s_pad * s_pad * d,
-            bytes_accessed=2 * (c3 + c) * b * s_pad * qkv.dtype.itemsize,
+            bytes_accessed=2 * (c3 + c) * b * s_pad * qkvp.dtype.itemsize,
             transcendentals=b * num_heads * s_pad * s_pad,
         ),
         # Head-batching makes the f32 (H*BB, S, S) intermediates ~7 MB each;
@@ -211,6 +215,16 @@ def _packed_bwd(num_heads, scale, qkv, g, interpret=False):
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(qkvp, gp)
+    return dqkv
+
+
+def _packed_bwd(num_heads, scale, qkv, g, interpret=False):
+    b, s, c3 = qkv.shape
+    s_pad = -(-s // 8) * 8
+    dqkv = _packed_bwd_padded(
+        num_heads, scale, _pad_s(qkv, s_pad), _pad_s(g, s_pad), s,
+        interpret=interpret,
+    )
     return (dqkv[:, :s],)
 
 

@@ -66,7 +66,7 @@ def test_fused_attention_block_interpret():
     wout = jax.random.normal(jax.random.fold_in(rng, 3), (c, c)) * 0.1
     bout = jax.random.normal(jax.random.fold_in(rng, 4), (c,)) * 0.1
     scale = (c // h) ** -0.5
-    out, qkv, attn = _fused_fwd_impl(
+    out, qkv_p, attn_p, x_p = _fused_fwd_impl(
         x, lns, lnb, wqkv, bqkv, wout, bout, h, scale, interpret=True
     )
     ref = _reference_impl(x, lns, lnb, wqkv, bqkv, wout, bout, h, scale)
@@ -92,10 +92,12 @@ def test_fused_attention_block_grad_matches_unfused():
     scale = (c // h) ** -0.5
     g = jax.random.normal(jax.random.fold_in(rng, 5), (b, s, c)) * 0.3
 
-    out, qkv, attn = _fused_fwd_impl(
+    out, qkv_p, attn_p, x_p = _fused_fwd_impl(
         x, lns, lnb, wqkv, bqkv, wout, bout, h, scale, interpret=True
     )
-    grads = _fused_bwd(h, scale, (x, qkv, attn, lns, lnb, wqkv, wout), g)
+    # Residuals stay PADDED (s=11 -> s_pad=16); the backward must still
+    # produce grads identical to the unfused chain on the valid rows.
+    grads = _fused_bwd(h, scale, (x_p, qkv_p, attn_p, lns, lnb, wqkv, wout), g)
 
     ref_out, vjp = jax.vjp(
         lambda *a: _reference_impl(*a, h, scale),

@@ -52,7 +52,7 @@ def _reference_impl(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, num_heads, sca
 
 def _fwd_kernel(
     x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
-    o_ref, qkv_ref, attn_ref,
+    o_ref, qkv_ref, attn_ref, p_ref,
     *, num_heads, head_dim, s_valid, scale,
 ):
     f32 = jnp.float32
@@ -83,13 +83,17 @@ def _fwd_kernel(
     )
     s = jnp.where(kmask, s * scale, _NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True) + 1e-30
+    pu = jnp.exp(s - m)
+    denom = jnp.sum(pu, axis=-1, keepdims=True) + 1e-30
+    pb = (pu / denom).astype(x.dtype)
+    # Normalized probs saved for the backward: skips the QK recompute matmul
+    # and the exp/max/sum there.  Layout is the program-private head-concat
+    # (H*bb rows per program, head-major) — the bwd kernel reads it back with
+    # the same bb, so the layout never needs translating.
+    p_ref[...] = pb
     ov = jax.lax.dot_general(
-        p.astype(x.dtype), vh, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=f32,
+        pb, vh, (((2,), (1,)), ((0,), (0,))), preferred_element_type=f32
     )
-    ov = ov / denom
     for i in range(num_heads):
         attn_ref[:, :, i * d : (i + 1) * d] = ov[i * bb : (i + 1) * bb].astype(
             attn_ref.dtype
@@ -118,14 +122,19 @@ def _fused_fwd_impl(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, num_heads,
     d = c // num_heads
     s_pad = -(-s // 8) * 8
     x_in = jnp.pad(x, [(0, 0), (0, s_pad - s), (0, 0)]) if s_pad != s else x
-    bb = _choose_bb(b)
+    # bb MUST match _packed_bwd_padded's choice: the saved-probs tensor uses
+    # a program-private head-concat row layout (H*bb rows per program).
+    bb = _choose_bb(b, 8)
     const = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
     blk = lambda ch: pl.BlockSpec(
         (bb, s_pad, ch), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
-    out, qkv, attn = pl.pallas_call(
+    pblk = pl.BlockSpec(
+        (num_heads * bb, s_pad, s_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    out, qkv, attn, probs = pl.pallas_call(
         functools.partial(
             _fwd_kernel, num_heads=num_heads, head_dim=d, s_valid=s, scale=scale
         ),
@@ -134,20 +143,21 @@ def _fused_fwd_impl(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, num_heads,
             blk(c), const((c,)), const((c,)), const((c, 3 * c)),
             const((3 * c,)), const((c, c)), const((c,)),
         ],
-        out_specs=(blk(c), blk(3 * c), blk(c)),
+        out_specs=(blk(c), blk(3 * c), blk(c), pblk),
         out_shape=(
             jax.ShapeDtypeStruct((b, s_pad, c), x.dtype),
             jax.ShapeDtypeStruct((b, s_pad, 3 * c), x.dtype),
             jax.ShapeDtypeStruct((b, s_pad, c), x.dtype),
+            jax.ShapeDtypeStruct((num_heads * b, s_pad, s_pad), x.dtype),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * s_pad * c * (4 * c) + 4 * b * num_heads * s_pad * s_pad * d,
             bytes_accessed=6 * b * s_pad * c * x.dtype.itemsize,
             transcendentals=b * num_heads * s_pad * s_pad,
         ),
-        # The default 16 MiB scoped-VMEM budget is ~16 KiB short of this
-        # kernel's working set at some grid sizes (v5e has 128 MiB VMEM).
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        # The head-batched attention intermediates need more than the 16 MiB
+        # default scoped-VMEM budget at bb=8 (v5e has 128 MiB VMEM).
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(
         x_in,
@@ -158,25 +168,25 @@ def _fused_fwd_impl(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, num_heads,
         wout.astype(x.dtype),
         bout.astype(jnp.float32),
     )
-    # out feeds the outer (unpadded) graph; qkv/attn/x_in stay PADDED for the
-    # backward — all pad/slice round-trips there are dead copies (zero
-    # cotangent rows stay zero through every op; see _fused_bwd).
-    return out[:, :s], qkv, attn, x_in
+    # out feeds the outer (unpadded) graph; qkv/attn/x_in/probs stay PADDED
+    # for the backward — all pad/slice round-trips there are dead copies
+    # (zero cotangent rows stay zero through every op; see _fused_bwd).
+    return out[:, :s], qkv, attn, x_in, probs
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
 def _fused(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, num_heads, scale):
-    out, _, _, _ = _fused_fwd_impl(
+    out, _, _, _, _ = _fused_fwd_impl(
         x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, num_heads, scale
     )
     return out
 
 
 def _fused_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, num_heads, scale):
-    out, qkv_p, attn_p, x_p = _fused_fwd_impl(
+    out, qkv_p, attn_p, x_p, probs = _fused_fwd_impl(
         x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, num_heads, scale
     )
-    return out, (x_p, qkv_p, attn_p, ln_scale, ln_bias, wqkv, wout)
+    return out, (x_p, qkv_p, attn_p, probs, ln_scale, ln_bias, wqkv, wout)
 
 
 def _fused_bwd(num_heads, scale, res, g):
@@ -192,7 +202,7 @@ def _fused_bwd(num_heads, scale, res, g):
     contribute exactly nothing to any dW — no per-tensor pad/slice
     round-trips (they measured ~0.45 ms/layer).
     """
-    x_p, qkv_p, attn_p, ln_scale, ln_bias, wqkv, wout = res
+    x_p, qkv_p, attn_p, probs, ln_scale, ln_bias, wqkv, wout = res
     f32 = jnp.float32
     b, s_pad, c = x_p.shape
     s = g.shape[1]
@@ -207,12 +217,12 @@ def _fused_bwd(num_heads, scale, res, g):
     )
     dbout = jnp.sum(gm.astype(f32), axis=0)
 
-    # attention core: the Pallas backward on TPU (recomputes probs from the
-    # saved qkv — no forward rerun), XLA autodiff of the fallback elsewhere.
+    # attention core: the Pallas backward on TPU consumes the probs SAVED by
+    # the forward kernel (no QK recompute, no exp); XLA autodiff elsewhere.
     if jax.default_backend() in ("tpu", "axon"):
-        from .packed_attention import _packed_bwd_padded
+        from .packed_attention import _packed_bwd_saved
 
-        dqkv = _packed_bwd_padded(num_heads, scale, qkv_p, do, s)
+        dqkv = _packed_bwd_saved(num_heads, scale, qkv_p, probs, do)
     else:
         _, attn_vjp = jax.vjp(
             lambda q: packed_self_attention(q[:, :s], num_heads, scale), qkv_p

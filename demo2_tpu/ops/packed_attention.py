@@ -228,6 +228,84 @@ def _packed_bwd(num_heads, scale, qkv, g, interpret=False):
     return (dqkv[:, :s],)
 
 
+def _bwd_saved_kernel(qkv_ref, p_ref, do_ref, dqkv_ref, *, num_heads, head_dim,
+                      scale):
+    """Backward from SAVED normalized probs: no QK recompute, no exp."""
+    c = num_heads * head_dim
+    d = head_dim
+    h = num_heads
+    f32 = jnp.float32
+    blk = qkv_ref[...]
+    bb, s_pad, _ = blk.shape
+    kh = _stack_heads(blk, c, h, d)
+    vh = _stack_heads(blk, 2 * c, h, d)
+    doh = _stack_heads(do_ref[...], 0, h, d)
+    pb = p_ref[...]  # (H*BB, S, S), already normalized, head-concat layout
+    p = pb.astype(f32)
+
+    batch01 = lambda a, b, ca, cb: jax.lax.dot_general(
+        a, b, (((ca,), (cb,)), ((0,), (0,))), preferred_element_type=f32
+    )
+    dv = batch01(pb, doh, 1, 1)  # (H*BB, S_k, D)
+    dp = batch01(doh, vh, 2, 2)  # (H*BB, S_q, S_k)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dsb = ds.astype(blk.dtype)
+    dq = batch01(dsb, kh, 2, 1) * scale
+    dk = batch01(dsb, _stack_heads(blk, 0, h, d), 1, 1) * scale
+    for i in range(h):
+        s0, s1 = i * bb, (i + 1) * bb
+        dqkv_ref[:, :, i * d : (i + 1) * d] = dq[s0:s1].astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, c + i * d : c + (i + 1) * d] = dk[s0:s1].astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, 2 * c + i * d : 2 * c + (i + 1) * d] = dv[s0:s1].astype(
+            dqkv_ref.dtype
+        )
+
+
+def _packed_bwd_saved(num_heads, scale, qkvp, probs, gp, interpret=False):
+    """Backward on padded tensors with saved probs (from the fused fwd).
+
+    `probs` layout matches the fused forward's program-private head-concat
+    (H*bb rows per program, same bb policy) — both sides use _choose_bb(b, 8)
+    so the block row mapping is identical.  Padded-row zeroing follows the
+    same argument as _packed_bwd_padded: zero gp rows give dp=0 -> ds=0 ->
+    dq=0; saved probs have masked (zero) padded-key columns -> dk=dv=0.
+    """
+    b, s_pad, c3 = qkvp.shape
+    c = c3 // 3
+    d = c // num_heads
+    bb = _choose_bb(b, 8)
+    dqkv = pl.pallas_call(
+        functools.partial(
+            _bwd_saved_kernel, num_heads=num_heads, head_dim=d, scale=scale
+        ),
+        grid=(b // bb,),
+        in_specs=[
+            pl.BlockSpec((bb, s_pad, c3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (num_heads * bb, s_pad, s_pad),
+                lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((bb, s_pad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bb, s_pad, c3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, c3), qkvp.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * num_heads * s_pad * s_pad * d,
+            bytes_accessed=(
+                2 * (c3 + c) * b * s_pad + num_heads * b * s_pad * s_pad
+            )
+            * qkvp.dtype.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(qkvp, probs, gp)
+    return dqkv
+
+
 _packed.defvjp(_packed_fwd, _packed_bwd)
 
 

@@ -66,7 +66,7 @@ def test_fused_attention_block_interpret():
     wout = jax.random.normal(jax.random.fold_in(rng, 3), (c, c)) * 0.1
     bout = jax.random.normal(jax.random.fold_in(rng, 4), (c,)) * 0.1
     scale = (c // h) ** -0.5
-    out, qkv_p, attn_p, x_p = _fused_fwd_impl(
+    out, qkv_p, attn_p, x_p, probs = _fused_fwd_impl(
         x, lns, lnb, wqkv, bqkv, wout, bout, h, scale, interpret=True
     )
     ref = _reference_impl(x, lns, lnb, wqkv, bqkv, wout, bout, h, scale)
@@ -92,12 +92,14 @@ def test_fused_attention_block_grad_matches_unfused():
     scale = (c // h) ** -0.5
     g = jax.random.normal(jax.random.fold_in(rng, 5), (b, s, c)) * 0.3
 
-    out, qkv_p, attn_p, x_p = _fused_fwd_impl(
+    out, qkv_p, attn_p, x_p, probs = _fused_fwd_impl(
         x, lns, lnb, wqkv, bqkv, wout, bout, h, scale, interpret=True
     )
     # Residuals stay PADDED (s=11 -> s_pad=16); the backward must still
     # produce grads identical to the unfused chain on the valid rows.
-    grads = _fused_bwd(h, scale, (x_p, qkv_p, attn_p, lns, lnb, wqkv, wout), g)
+    grads = _fused_bwd(
+        h, scale, (x_p, qkv_p, attn_p, probs, lns, lnb, wqkv, wout), g
+    )
 
     ref_out, vjp = jax.vjp(
         lambda *a: _reference_impl(*a, h, scale),
@@ -111,6 +113,39 @@ def test_fused_attention_block_grad_matches_unfused():
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4, err_msg=nm
         )
+
+
+def test_packed_bwd_saved_matches_recompute():
+    """The saved-probs backward kernel must equal the recompute backward."""
+    from demo2_tpu.ops.packed_attention import (
+        _packed_bwd_padded,
+        _packed_bwd_saved,
+    )
+    from demo2_tpu.ops.fused_block import _fused_fwd_impl
+
+    b, s, c, h = 8, 11, 32, 4
+    rng = jax.random.PRNGKey(3)
+    x = jax.random.normal(rng, (b, s, c), jnp.float32)
+    lns = jnp.ones((c,), jnp.float32)
+    lnb = jnp.zeros((c,), jnp.float32)
+    wqkv = jax.random.normal(jax.random.fold_in(rng, 1), (c, 3 * c)) * 0.1
+    bqkv = jnp.zeros((3 * c,))
+    wout = jnp.eye(c)
+    bout = jnp.zeros((c,))
+    scale = (c // h) ** -0.5
+    out, qkv_p, attn_p, x_p, probs = _fused_fwd_impl(
+        x, lns, lnb, wqkv, bqkv, wout, bout, h, scale, interpret=True
+    )
+    s_pad = qkv_p.shape[1]
+    g = jax.random.normal(jax.random.fold_in(rng, 2), (b, s, c)) * 0.3
+    gp = jnp.pad(g, [(0, 0), (0, s_pad - s), (0, 0)])
+    d_saved = _packed_bwd_saved(h, scale, qkv_p, probs, gp, interpret=True)
+    d_rec = _packed_bwd_padded(h, scale, qkv_p, gp, s, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(d_saved), np.asarray(d_rec), rtol=1e-4, atol=1e-4
+    )
+    # padded rows must be exactly zero (consumed unsliced by dW einsums)
+    assert not np.any(np.asarray(d_saved)[:, s:])
 
 
 def test_fused_mlp_block_interpret():

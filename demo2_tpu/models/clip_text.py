@@ -1,0 +1,112 @@
+"""CLIP text encoder (transformer + BPE token embeddings), TPU-native.
+
+Reference: modeling/clip/model.py:489-606 — `CLIP.encode_text` runs the
+token embedding, adds the (77, W) positional embedding, applies the causal
+transformer (`build_attention_mask`, :578-584 — additive upper-triangular
+-inf mask), final LayerNorm, then projects the EOT token's feature
+(`x[arange, text.argmax(-1)] @ text_projection`, :593-604).
+
+Unused by every DeMo config (the fork only exercises the visual tower), but
+part of the reference surface via `make_model_clipreid`'s prompt learning;
+implemented for completeness.  TPU notes: the causal mask is an additive
+bias broadcast over (B, H, S, S) so the whole batch of prompts encodes in
+one masked attention per block; S=77 is tiny, so the XLA einsum path is
+used throughout (no Pallas needed for an offline prompt-encoding pass).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.activations import quick_gelu
+from ..ops.attention import MultiHeadAttention
+from ..ops.linear import torch_linear_kernel_init
+from ..ops.norm import LayerNorm
+
+
+class _TextBlock(nn.Module):
+    """Pre-LN block with an additive attention mask (clip/model.py:168-230)."""
+
+    width: int
+    heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask_bias):
+        y = LayerNorm(name="ln_1")(x)
+        y = MultiHeadAttention(
+            num_heads=self.heads, dtype=self.dtype, name="attn"
+        )(y, mask_bias=mask_bias)
+        x = x + y
+        y = LayerNorm(name="ln_2")(x)
+        y = nn.Dense(
+            4 * self.width,
+            kernel_init=torch_linear_kernel_init,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="mlp_c_fc",
+        )(y)
+        y = quick_gelu(y)
+        y = nn.Dense(
+            self.width,
+            kernel_init=torch_linear_kernel_init,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="mlp_c_proj",
+        )(y)
+        return x + y
+
+
+class CLIPTextTransformer(nn.Module):
+    """`encode_text` equivalent: (B, 77) int tokens -> (B, embed_dim)."""
+
+    vocab_size: int = 49408
+    context_length: int = 77
+    width: int = 512
+    layers: int = 12
+    heads: int = 8
+    embed_dim: int = 512
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, text: jnp.ndarray) -> jnp.ndarray:  # (B, 77) int32
+        f32 = jnp.float32
+        tok = self.param(
+            "token_embedding",
+            nn.initializers.normal(0.02),
+            (self.vocab_size, self.width),
+            f32,
+        )
+        pos = self.param(
+            "positional_embedding",
+            nn.initializers.normal(0.01),
+            (self.context_length, self.width),
+            f32,
+        )
+        x = tok[text].astype(self.dtype) + pos.astype(self.dtype)
+
+        # Causal mask as an additive bias (reference fills strict upper
+        # triangle with -inf; -1e30 keeps the softmax fp32-safe).
+        s = self.context_length
+        causal = jnp.triu(jnp.full((s, s), -1e30, f32), k=1)[None, None]
+
+        for i in range(self.layers):
+            x = _TextBlock(
+                self.width, self.heads, dtype=self.dtype, name=f"resblocks_{i}"
+            )(x, causal)
+
+        x = LayerNorm(name="ln_final")(x)
+        proj = self.param(
+            "text_projection",
+            nn.initializers.normal(self.width ** -0.5),
+            (self.width, self.embed_dim),
+            f32,
+        )
+        # EOT pooling: the EOT token id (49407) is each row's max token id.
+        eot = jnp.argmax(text, axis=-1)  # (B,)
+        pooled = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]
+        return (pooled.astype(f32) @ proj).astype(jnp.float32)

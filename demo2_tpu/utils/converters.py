@@ -97,6 +97,49 @@ def convert_clip_visual(sd: Dict[str, np.ndarray], new_h: int, new_w: int) -> Di
     return params
 
 
+def convert_clip_text(sd: Dict[str, np.ndarray]) -> Dict:
+    """CLIP text-side state dict -> CLIPTextTransformer flax params.
+
+    Reference keys (modeling/clip/model.py:533-544): token_embedding.weight,
+    positional_embedding, transformer.resblocks.N.*, ln_final, text_projection.
+    """
+    g = lambda k: sd[k]
+    params: Dict[str, Any] = {
+        "token_embedding": _arr(g("token_embedding.weight")),
+        "positional_embedding": _arr(g("positional_embedding")),
+        "ln_final": {
+            "scale": _arr(g("ln_final.weight")),
+            "bias": _arr(g("ln_final.bias")),
+        },
+        "text_projection": _arr(g("text_projection")),
+    }
+    i = 0
+    while f"transformer.resblocks.{i}.attn.in_proj_weight" in sd:
+        blk = f"transformer.resblocks.{i}."
+        params[f"resblocks_{i}"] = {
+            "attn": {
+                "in_proj_kernel": _t(g(blk + "attn.in_proj_weight")),
+                "in_proj_bias": _arr(g(blk + "attn.in_proj_bias")),
+                "out_proj": {
+                    "kernel": _t(g(blk + "attn.out_proj.weight")),
+                    "bias": _arr(g(blk + "attn.out_proj.bias")),
+                },
+            },
+            "ln_1": {"scale": _arr(g(blk + "ln_1.weight")), "bias": _arr(g(blk + "ln_1.bias"))},
+            "ln_2": {"scale": _arr(g(blk + "ln_2.weight")), "bias": _arr(g(blk + "ln_2.bias"))},
+            "mlp_c_fc": {
+                "kernel": _t(g(blk + "mlp.c_fc.weight")),
+                "bias": _arr(g(blk + "mlp.c_fc.bias")),
+            },
+            "mlp_c_proj": {
+                "kernel": _t(g(blk + "mlp.c_proj.weight")),
+                "bias": _arr(g(blk + "mlp.c_proj.bias")),
+            },
+        }
+        i += 1
+    return params
+
+
 def convert_imagenet_vit(sd: Dict[str, np.ndarray], new_h: int, new_w: int) -> Dict:
     """timm/TransReID ViT state dict -> ImageNetViT flax params."""
     params: Dict[str, Any] = {}

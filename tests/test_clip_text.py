@@ -1,0 +1,118 @@
+"""CLIP text-side parity vs the ACTUAL reference code.
+
+Tokenizer: ids must match modeling/clip/simple_tokenizer.py +
+clip.py::tokenize exactly.  Encoder: CLIPTextTransformer forward must match
+CLIP.encode_text (modeling/clip/model.py:593-604) on converted weights.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from ref_loader import load_ref
+
+from demo2_tpu.models.clip_text import CLIPTextTransformer
+from demo2_tpu.utils.bpe import ClipBPE, tokenize
+from demo2_tpu.utils.converters import convert_clip_text
+
+PROMPTS = [
+    "A photo of a person.",
+    "a blurry thermal image of a pedestrian crossing the street",
+    "Multi-modal object Re-IDentification (ReID) aims to retrieve targets!",
+    "numbers 123 456 and punctuation?! #@%",
+    "short",
+    "",
+]
+
+
+def test_tokenizer_matches_reference():
+    ref_st = load_ref("modeling.clip.simple_tokenizer")
+    ref_tok = ref_st.SimpleTokenizer(
+        "/root/reference/modeling/clip/bpe_simple_vocab_16e6.txt.gz"
+    )
+    ours = ClipBPE()
+    for text in PROMPTS:
+        if not text:
+            continue
+        assert ours.encode(text) == ref_tok.encode(text), text
+    # round trip
+    ids = ours.encode("a photo of a person")
+    assert "a photo of a person" in ours.decode(ids)
+
+
+def test_tokenize_framing_matches_reference():
+    ref_clip = load_ref("modeling.clip.clip")
+    want = ref_clip.tokenize(PROMPTS[:4]).numpy()
+    got = tokenize(PROMPTS[:4])
+    np.testing.assert_array_equal(got, want.astype(np.int64))
+
+
+def test_text_encoder_parity():
+    from test_reference_parity import randomize
+
+    ref_model = load_ref("modeling.clip.model")
+    width, heads, layers, embed = 64, 4, 2, 48
+    import types
+
+    vis_cfg = types.SimpleNamespace(
+        MODEL=types.SimpleNamespace(PROMPT=False, ADAPTER=False)
+    )
+    tm = ref_model.CLIP(
+        vis_cfg,
+        embed_dim=embed,
+        image_resolution=32,
+        vision_layers=1,
+        vision_width=64,
+        vision_patch_size=16,
+        vision_stride_size=16,
+        context_length=77,
+        vocab_size=49408,
+        transformer_width=width,
+        transformer_heads=heads,
+        transformer_layers=layers,
+        h_resolution=2,
+        w_resolution=1,
+    ).float()
+    randomize(tm, seed=11)
+    tm.eval()
+
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params = convert_clip_text(sd)
+
+    model = CLIPTextTransformer(
+        width=width, heads=heads, layers=layers, embed_dim=embed
+    )
+    tokens = tokenize(PROMPTS[:4])
+    init = model.init(jax.random.PRNGKey(0), jnp.asarray(tokens))
+    # shape agreement between converted and initialized trees
+    flat_a = jax.tree_util.tree_leaves_with_path(init["params"])
+    flat_b = dict(
+        (jax.tree_util.keystr(p), l.shape)
+        for p, l in jax.tree_util.tree_leaves_with_path(params)
+    )
+    for p, leaf in flat_a:
+        assert flat_b[jax.tree_util.keystr(p)] == leaf.shape, jax.tree_util.keystr(p)
+
+    ours = np.asarray(model.apply({"params": params}, jnp.asarray(tokens)))
+
+    # NOTE: the fork's own CLIP.encode_text is UNRUNNABLE as written —
+    # Transformer.forward passes (x, modality, index, last_prompt) into
+    # nn.Sequential, which accepts one input (clip/model.py:413-414), so
+    # encode_text raises TypeError.  Replicate its documented semantics
+    # (:593-604) with the blocks' forward_ori (the "DeMo only" branch,
+    # which applies the causal attn_mask).
+    text_t = torch.from_numpy(tokens.astype(np.int64))
+    with torch.no_grad():
+        x = tm.token_embedding(text_t) + tm.positional_embedding
+        x = x.permute(1, 0, 2)
+        for blk in tm.transformer.resblocks:
+            x = blk.forward_ori(x)
+        x = x.permute(1, 0, 2)
+        x = tm.ln_final(x)
+        want = (
+            x[torch.arange(x.shape[0]), text_t.argmax(dim=-1)]
+            @ tm.text_projection
+        ).numpy()
+    np.testing.assert_allclose(ours, want, rtol=5e-4, atol=5e-4)

@@ -217,30 +217,40 @@ def _fused_bwd(num_heads, scale, res, g):
     )
     dbout = jnp.sum(gm.astype(f32), axis=0)
 
-    # attention core: the Pallas backward on TPU consumes the probs SAVED by
-    # the forward kernel (no QK recompute, no exp); XLA autodiff elsewhere.
-    if jax.default_backend() in ("tpu", "axon"):
-        from .packed_attention import _packed_bwd_saved
-
-        dqkv = _packed_bwd_saved(num_heads, scale, qkv_p, probs, do)
-    else:
-        _, attn_vjp = jax.vjp(
-            lambda q: packed_self_attention(q[:, :s], num_heads, scale), qkv_p
-        )
-        (dqkv,) = attn_vjp(do[:, :s])
-
-    # qkv projection (padded dqkv rows are zero -> dW sees nothing)
-    dqkv_m = dqkv.reshape(-1, 3 * c)
-    dt = (dqkv_m @ wqkv.astype(dqkv.dtype).T).reshape(b, s_pad, c)
-    # t is recomputed from x via LN — one fused elementwise pass in XLA.
+    # t is recomputed from x via LN — one fused elementwise pass in XLA;
+    # xhat/rstd are reused by the LayerNorm backward below.
     xf = x_p.astype(f32).reshape(-1, c)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
     rstd = jax.lax.rsqrt(var + 1e-5)
     xhat = (xf - mean) * rstd
     t = (xhat * ln_scale + ln_bias).astype(x_p.dtype)
-    dwqkv = jnp.einsum("mc,md->cd", t, dqkv_m, preferred_element_type=f32)
-    dbqkv = jnp.sum(dqkv_m.astype(f32), axis=0)
+
+    # attention core: the Pallas backward on TPU consumes the probs SAVED by
+    # the forward kernel (no QK recompute, no exp); XLA autodiff elsewhere.
+    # NOTE: a variant that also fuses the qkv-projection backward into the
+    # kernel (_packed_bwd_fused_dw — dqkv never hits HBM, dW accumulated
+    # across the grid) measures 561 vs 591 img/s: the in-kernel dW GEMMs
+    # serialize against the attention matmuls, while XLA overlaps the
+    # separate contractions — same failure mode as the fused-MLP residual
+    # write (docs/PERF.md).  Kept + interpret-tested for the record.
+    if jax.default_backend() in ("tpu", "axon"):
+        from .packed_attention import _packed_bwd_saved
+
+        dqkv = _packed_bwd_saved(num_heads, scale, qkv_p, probs, do)
+        dqkv_m = dqkv.reshape(-1, 3 * c)
+        dt = (dqkv_m @ wqkv.astype(dqkv.dtype).T).reshape(b, s_pad, c)
+        dwqkv = jnp.einsum("mc,md->cd", t, dqkv_m, preferred_element_type=f32)
+        dbqkv = jnp.sum(dqkv_m.astype(f32), axis=0)
+    else:
+        _, attn_vjp = jax.vjp(
+            lambda q: packed_self_attention(q[:, :s], num_heads, scale), qkv_p
+        )
+        (dqkv,) = attn_vjp(do[:, :s])
+        dqkv_m = dqkv.reshape(-1, 3 * c)
+        dt = (dqkv_m @ wqkv.astype(dqkv.dtype).T).reshape(b, s_pad, c)
+        dwqkv = jnp.einsum("mc,md->cd", t, dqkv_m, preferred_element_type=f32)
+        dbqkv = jnp.sum(dqkv_m.astype(f32), axis=0)
 
     # LayerNorm backward (dt zero rows -> dx_ln zero rows)
     dtf = dt.astype(f32).reshape(-1, c)

@@ -261,6 +261,124 @@ def _bwd_saved_kernel(qkv_ref, p_ref, do_ref, dqkv_ref, *, num_heads, head_dim,
         )
 
 
+def _bwd_fused_dw_kernel(
+    qkv_ref, p_ref, do_ref, t_ref, wqkv_ref,
+    dt_ref, dwqkv_ref, dbqkv_ref,
+    *, num_heads, head_dim, scale,
+):
+    """Saved-probs attention backward FUSED with the qkv-projection backward.
+
+    dqkv stays in VMEM (never hits HBM): the kernel immediately contracts it
+    into dW_qkv / db_qkv (f32 accumulators revisited across the sequential
+    TPU grid) and projects dt = dqkv @ W_qkv^T for the LayerNorm backward
+    outside.  Saves the (B, S, 3C) dqkv round-trip (~340 MB of HBM traffic
+    per layer at flagship shapes).
+    """
+    c = num_heads * head_dim
+    d = head_dim
+    h = num_heads
+    f32 = jnp.float32
+    blk = qkv_ref[...]
+    bb, s_pad, _ = blk.shape
+    kh = _stack_heads(blk, c, h, d)
+    vh = _stack_heads(blk, 2 * c, h, d)
+    doh = _stack_heads(do_ref[...], 0, h, d)
+    pb = p_ref[...]
+    p = pb.astype(f32)
+
+    batch01 = lambda a, b, ca, cb: jax.lax.dot_general(
+        a, b, (((ca,), (cb,)), ((0,), (0,))), preferred_element_type=f32
+    )
+    dv = batch01(pb, doh, 1, 1)
+    dp = batch01(doh, vh, 2, 2)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dsb = ds.astype(blk.dtype)
+    dq = batch01(dsb, kh, 2, 1) * scale
+    dk = batch01(dsb, _stack_heads(blk, 0, h, d), 1, 1) * scale
+
+    # Assemble dqkv in VMEM only.
+    parts = []
+    for tensor in (dq, dk, dv):
+        parts.extend(
+            tensor[i * bb : (i + 1) * bb].astype(blk.dtype) for i in range(h)
+        )
+    # concat head slices back to (bb, s_pad, 3C): order q heads, k heads, v heads
+    dqkv = jnp.concatenate(parts, axis=-1)
+
+    m = bb * s_pad
+    dqkv_m = dqkv.reshape(m, 3 * c)
+    t = t_ref[...].reshape(m, c)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dwqkv_ref[...] = jnp.zeros_like(dwqkv_ref)
+        dbqkv_ref[...] = jnp.zeros_like(dbqkv_ref)
+
+    dwqkv_ref[...] += jax.lax.dot_general(
+        t, dqkv_m, (((0,), (0,)), ((), ())), preferred_element_type=f32
+    )
+    dbqkv_ref[...] += jnp.sum(dqkv_m.astype(f32), axis=0, keepdims=True)
+    dt = jax.lax.dot_general(
+        dqkv_m, wqkv_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    )
+    dt_ref[...] = dt.reshape(bb, s_pad, c).astype(dt_ref.dtype)
+
+
+def _packed_bwd_fused_dw(num_heads, scale, qkvp, probs, do, t, wqkv,
+                         interpret=False):
+    """Returns (dt, dwqkv, dbqkv) with dqkv kept entirely in VMEM.
+
+    `do` is the attention-output cotangent (zero padded rows), `t` the LN
+    output (the qkv projection's input), `wqkv` the packed (C, 3C)
+    projection kernel.  Padded-row zeroing as in _packed_bwd_saved — zero
+    do rows make every padded dqkv row zero, so dW sees nothing.
+    """
+    b, s_pad, c3 = qkvp.shape
+    c = c3 // 3
+    d = c // num_heads
+    bb = _choose_bb(b, 8)
+    dt, dwqkv, dbqkv = pl.pallas_call(
+        functools.partial(
+            _bwd_fused_dw_kernel, num_heads=num_heads, head_dim=d, scale=scale
+        ),
+        grid=(b // bb,),
+        in_specs=[
+            pl.BlockSpec((bb, s_pad, c3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (num_heads * bb, s_pad, s_pad),
+                lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((bb, s_pad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, s_pad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((bb, s_pad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, s_pad, c), qkvp.dtype),
+            jax.ShapeDtypeStruct((c, c3), jnp.float32),
+            jax.ShapeDtypeStruct((1, c3), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(8 * b * num_heads * s_pad * s_pad * d
+                   + 4 * b * s_pad * c * 3 * c),
+            bytes_accessed=(
+                (c3 + 3 * c) * b * s_pad + num_heads * b * s_pad * s_pad
+            )
+            * qkvp.dtype.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(qkvp, probs, do, t, wqkv.astype(qkvp.dtype))
+    return dt, dwqkv, dbqkv[0]
+
+
 def _packed_bwd_saved(num_heads, scale, qkvp, probs, gp, interpret=False):
     """Backward on padded tensors with saved probs (from the fused fwd).
 

@@ -148,6 +148,52 @@ def test_packed_bwd_saved_matches_recompute():
     assert not np.any(np.asarray(d_saved)[:, s:])
 
 
+def test_packed_bwd_fused_dw_matches_separate():
+    """The fused-dW backward (dqkv kept in VMEM, dW accumulated across the
+    grid) must equal the separate kernel + XLA contraction path."""
+    from demo2_tpu.ops.packed_attention import (
+        _packed_bwd_fused_dw,
+        _packed_bwd_saved,
+    )
+    from demo2_tpu.ops.fused_block import _fused_fwd_impl
+
+    b, s, c, h = 16, 11, 32, 4  # b=16 -> 2 grid programs exercise accumulation
+    rng = jax.random.PRNGKey(4)
+    x = jax.random.normal(rng, (b, s, c), jnp.float32)
+    lns = jnp.ones((c,), jnp.float32) * 1.05
+    lnb = jnp.zeros((c,), jnp.float32)
+    wqkv = jax.random.normal(jax.random.fold_in(rng, 1), (c, 3 * c)) * 0.1
+    bqkv = jnp.zeros((3 * c,))
+    wout = jnp.eye(c)
+    bout = jnp.zeros((c,))
+    scale = (c // h) ** -0.5
+    out, qkv_p, attn_p, x_p, probs = _fused_fwd_impl(
+        x, lns, lnb, wqkv, bqkv, wout, bout, h, scale, interpret=True
+    )
+    s_pad = qkv_p.shape[1]
+    g = jax.random.normal(jax.random.fold_in(rng, 2), (b, s, c)) * 0.3
+    gp = jnp.pad(g, [(0, 0), (0, s_pad - s), (0, 0)])
+
+    # reference: separate kernel + XLA contractions
+    dqkv = _packed_bwd_saved(h, scale, qkv_p, probs, gp, interpret=True)
+    xf = x_p.astype(jnp.float32).reshape(-1, c)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    xhat = (xf - mean) * jax.lax.rsqrt(var + 1e-5)
+    t = (xhat * lns + lnb).astype(x_p.dtype)
+    dqkv_m = dqkv.reshape(-1, 3 * c)
+    want_dt = (dqkv_m @ wqkv.T).reshape(b, s_pad, c)
+    want_dw = jnp.einsum("mc,md->cd", t, dqkv_m)
+    want_db = jnp.sum(dqkv_m, axis=0)
+
+    dt, dw, db = _packed_bwd_fused_dw(
+        h, scale, qkv_p, probs, gp, t.reshape(b, s_pad, c), wqkv, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(dt), np.asarray(want_dt), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(want_dw), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(db), np.asarray(want_db), rtol=1e-4, atol=1e-4)
+
+
 def test_fused_mlp_block_interpret():
     from demo2_tpu.ops.fused_block import _mlp_reference_impl, fused_mlp_block
 

@@ -9,13 +9,19 @@ reference fork (constructed at make_model.py:131-138 but never invoked by
 any forward); here it is wired as a first-class branch, restoring the
 original-paper semantics.
 
-TPU-first redesign:
-  * the 7 subset-attentions become THREE batched attentions grouped by set
-    cardinality (the 1-, 2- and 3-modality sets have static subset lengths
-    N+1, 2(N+1), 3(N+1)), with k/v projected only for the 12 live
-    (set, member-modality) pairs — exact subset attention at 12/21 of the
-    GEMM FLOPs a full-sequence masked formulation pays (a token's segment
-    appears in at most 4 of the 7 sets);
+TPU-first redesign (docs/PERF.md has the measurement ladder, 5.6 -> 2.3 ms):
+  * k is NEVER materialized: each set's query is a constant learned vector,
+    so q^T (W_k x + b_k) == (W_k^T q)^T x + q^T b_k — the per-set key
+    projections fold into ONE thin (C, 4h) GEMM per modality (a modality
+    belongs to exactly 4 of the 7 sets), skipping the 26 GFLOP k GEMM and
+    ~200 MB of k HBM traffic;
+  * v is projected modality-major — one (C, 4C) GEMM per modality, zero
+    input duplication — and consumed strictly in its produced layout
+    (broadcast multiply + token reduction for the PV product; the earlier
+    set-major dot_general formulation relayouted ~100 MB around a matvec);
+  * JOINT softmaxes across each set's member pairs on the SMALL
+    (12, B, h, seg) logits tensor reproduce exact subset attention — all
+    grouping permutations happen there, never on the big tensors;
   * the per-set projection weights are stacked with a leading (7,) axis and
     applied with single einsums;
   * ATMoE's 7x`head` expert MLPs collapse into one (head, expert, d, d)

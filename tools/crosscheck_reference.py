@@ -45,8 +45,18 @@ from demo2_tpu.utils.ref_convert import convert_demo
 
 EPOCHS = 12
 
+ARCH_KNOBS = {
+    # flagship: SDTPS + DGAF v3 single-branch
+    "demo": dict(),
+    # 9-head parallel arch with the EXACT-reference engine loss weighting
+    # (only pair 0 x SDTPS_LOSS_WEIGHT — MODEL.PARALLEL_LOSS_PARITY)
+    "parallel": dict(ARCH="DeMo_Parallel", PARALLEL_LOSS_PARITY=True),
+    # legacy cascade (SACR -> LIF -> SDTPS -> DGAF) incl. the aux LIF loss
+    "legacy": dict(ARCH="DeMoBeiyong", USE_SACR=True, USE_LIF=True),
+}
 
-def build_cfg():
+
+def build_cfg(arch: str = "demo"):
     cfg = get_cfg_defaults()
     cfg.MODEL.TRANSFORMER_TYPE = "vit_base_patch16_224"
     cfg.INPUT.SIZE_TRAIN = (32, 16)
@@ -59,6 +69,8 @@ def build_cfg():
     cfg.MODEL.DIRECT = 1
     cfg.MODEL.ID_LOSS_WEIGHT = 0.25
     cfg.MODEL.TRIPLET_LOSS_WEIGHT = 1.0
+    for k, v in ARCH_KNOBS[arch].items():
+        setattr(cfg.MODEL, k, v)
     cfg.SOLVER.OPTIMIZER_NAME = "Adam"
     cfg.SOLVER.BASE_LR = 3.5e-4
     cfg.SOLVER.WARMUP_ITERS = 2
@@ -124,6 +136,12 @@ def train_torch(cfg, tm, train_batches, num_classes):
             output = tm(torch_inputs(batch), label=target, cam_label=tcam,
                         view_label=tview)
             loss = 0.0
+            lif_loss = None
+            if cfg.MODEL.USE_LIF:
+                # LIF loss is always last and weighted separately
+                # (engine/processor.py:75-79, 100-101).
+                lif_loss = output[-1]
+                output = output[:-1]
             if len(output) % 2 == 1:
                 index = len(output) - 1
                 for i in range(0, index, 2):
@@ -140,6 +158,8 @@ def train_torch(cfg, tm, train_batches, num_classes):
                     if has_sdtps and i == 0:
                         lt = lt * cfg.MODEL.SDTPS_LOSS_WEIGHT
                     loss = loss + lt
+            if lif_loss is not None:
+                loss = loss + cfg.MODEL.LIF_LOSS_WEIGHT * lif_loss
             loss.backward()
             optimizer.step()
             ep_loss += float(loss.detach())
@@ -211,11 +231,17 @@ def train_jax(cfg, model, state, tx, center_tx, train_batches):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--arch", default="demo", choices=sorted(ARCH_KNOBS))
+    args = ap.parse_args()
+
     t0 = time.time()
-    cfg = build_cfg()
+    cfg = build_cfg(args.arch)
     train_batches, val_batches, num_query, num_classes, camera_num = render_data(cfg)
     steps_per_epoch = len(train_batches[0])
-    print(f"data: {steps_per_epoch} steps/epoch x {EPOCHS} epochs, "
+    print(f"arch={args.arch}: {steps_per_epoch} steps/epoch x {EPOCHS} epochs, "
           f"{num_query} query", flush=True)
 
     # Reference model, randomized init; the SAME weights seed the JAX model.
@@ -223,7 +249,8 @@ def main():
     ref_vit.Trans.load_param = lambda self, path: None
     ref_mm = load_ref("modeling.make_model")
     factory = getattr(ref_mm, "__factory_T_type")
-    tm = ref_mm.DeMo(num_classes, cfg, camera_num, 0, factory)
+    ref_cls = getattr(ref_mm, cfg.MODEL.ARCH if cfg.MODEL.ARCH != "DeMo" else "DeMo")
+    tm = ref_cls(num_classes, cfg, camera_num, 0, factory)
     randomize(tm, seed=33)
     sd0 = torch_sd(tm)
 
@@ -232,7 +259,12 @@ def main():
     state, tx, center_tx, _ = create_train_state(
         cfg, model, jax.random.PRNGKey(0), sample, steps_per_epoch
     )
-    params, stats = convert_demo(sd0, cfg)
+    if cfg.MODEL.ARCH == "DeMo_Parallel":
+        from demo2_tpu.utils.ref_convert import convert_demo_parallel
+
+        params, stats = convert_demo_parallel(sd0, cfg)
+    else:
+        params, stats = convert_demo(sd0, cfg)
     variables = graft(
         {"params": state.params, "batch_stats": state.batch_stats},
         params, stats, require_full_params=True, allow_missing_in_model=True,
@@ -254,7 +286,8 @@ def main():
           f"({time.time()-t0:.0f}s)", flush=True)
 
     report = {
-        "config": "sdtps_dgaf_v3 tiny (32x16, ViT-B width, SyntheticHard)",
+        "config": f"{args.arch}: {cfg.MODEL.ARCH} sdtps_dgaf_v3 tiny "
+                  "(32x16, ViT-B width, SyntheticHard)",
         "epochs": EPOCHS,
         "untrained_mAP_jax": mAP0_jax,
         "final_mAP_jax": mAP_jax,
@@ -267,7 +300,8 @@ def main():
     }
     out = pathlib.Path(__file__).resolve().parent.parent / "reports"
     out.mkdir(exist_ok=True)
-    (out / "crosscheck.json").write_text(json.dumps(report, indent=2))
+    fname = "crosscheck.json" if args.arch == "demo" else f"crosscheck_{args.arch}.json"
+    (out / fname).write_text(json.dumps(report, indent=2))
     print(json.dumps(report, indent=2))
 
     # Learning bar calibrated to what the TORCH REFERENCE itself achieves in

@@ -50,11 +50,14 @@ def _reference_impl(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, num_heads, sca
     return x + o @ wout.astype(x.dtype) + bout.astype(x.dtype)
 
 
-def _fwd_kernel(
+def _fwd_kernel_core(
     x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
     o_ref, qkv_ref, attn_ref, p_ref,
     *, num_heads, head_dim, s_valid, scale,
 ):
+    """qkv_ref/attn_ref/p_ref are None in inference mode — their writes are
+    residuals only the training backward reads (~237 MB/layer of dead
+    stores otherwise)."""
     f32 = jnp.float32
     bb, s_pad, c = x_ref.shape
     d = head_dim
@@ -65,7 +68,8 @@ def _fwd_kernel(
         + bqkv_ref[...]
     ).astype(x.dtype)
     qkv3 = qkv.reshape(bb, s_pad, 3 * c)
-    qkv_ref[...] = qkv3
+    if qkv_ref is not None:
+        qkv_ref[...] = qkv3
 
     # Heads ride the dot_general batch dim (concat along the leading axis —
     # see packed_attention._stack_heads): 12x2 tiny matmuls -> 2 batched.
@@ -86,27 +90,49 @@ def _fwd_kernel(
     pu = jnp.exp(s - m)
     denom = jnp.sum(pu, axis=-1, keepdims=True) + 1e-30
     pb = (pu / denom).astype(x.dtype)
-    # Normalized probs saved for the backward: skips the QK recompute matmul
-    # and the exp/max/sum there.  Layout is the program-private head-concat
-    # (H*bb rows per program, head-major) — the bwd kernel reads it back with
-    # the same bb, so the layout never needs translating.
-    p_ref[...] = pb
+    if p_ref is not None:
+        # Normalized probs saved for the backward: skips the QK recompute
+        # matmul and the exp/max/sum there.  Layout is the program-private
+        # head-concat (H*bb rows per program, head-major) — the bwd kernel
+        # reads it back with the same bb, so it never needs translating.
+        p_ref[...] = pb
     ov = jax.lax.dot_general(
         pb, vh, (((2,), (1,)), ((0,), (0,))), preferred_element_type=f32
     )
-    for i in range(num_heads):
-        attn_ref[:, :, i * d : (i + 1) * d] = ov[i * bb : (i + 1) * bb].astype(
-            attn_ref.dtype
-        )
+    attn = jnp.concatenate(
+        [ov[i * bb : (i + 1) * bb] for i in range(num_heads)], axis=-1
+    ).astype(x.dtype)
+    if attn_ref is not None:
+        attn_ref[...] = attn
 
     y = (
         jnp.dot(
-            attn_ref[...].reshape(bb * s_pad, c), wout_ref[...],
+            attn.reshape(bb * s_pad, c), wout_ref[...],
             preferred_element_type=f32,
         )
         + bout_ref[...]
     ).astype(x.dtype)
     o_ref[...] = (x + y).reshape(bb, s_pad, c)
+
+
+def _fwd_kernel(
+    x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+    o_ref, qkv_ref, attn_ref, p_ref, **kw,
+):
+    _fwd_kernel_core(
+        x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+        o_ref, qkv_ref, attn_ref, p_ref, **kw,
+    )
+
+
+def _fwd_kernel_infer(
+    x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+    o_ref, **kw,
+):
+    _fwd_kernel_core(
+        x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+        o_ref, None, None, None, **kw,
+    )
 
 
 def _choose_bb(b: int, limit: int = 4) -> int:
@@ -174,12 +200,57 @@ def _fused_fwd_impl(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, num_heads,
     return out[:, :s], qkv, attn, x_in, probs
 
 
+def _fused_infer_impl(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, num_heads,
+                      scale, interpret=False):
+    """Inference-only: emits just the block output (no residual stores)."""
+    b, s, c = x.shape
+    d = c // num_heads
+    s_pad = -(-s // 8) * 8
+    x_in = jnp.pad(x, [(0, 0), (0, s_pad - s), (0, 0)]) if s_pad != s else x
+    bb = _choose_bb(b, 8)
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    blk = lambda ch: pl.BlockSpec(
+        (bb, s_pad, ch), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel_infer, num_heads=num_heads, head_dim=d, s_valid=s,
+            scale=scale,
+        ),
+        grid=(b // bb,),
+        in_specs=[
+            blk(c), const((c,)), const((c,)), const((c, 3 * c)),
+            const((3 * c,)), const((c, c)), const((c,)),
+        ],
+        out_specs=blk(c),
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, c), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * s_pad * c * (4 * c) + 4 * b * num_heads * s_pad * s_pad * d,
+            bytes_accessed=2 * b * s_pad * c * x.dtype.itemsize,
+            transcendentals=b * num_heads * s_pad * s_pad,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        x_in,
+        ln_scale.astype(jnp.float32),
+        ln_bias.astype(jnp.float32),
+        wqkv.astype(x.dtype),
+        bqkv.astype(jnp.float32),
+        wout.astype(x.dtype),
+        bout.astype(jnp.float32),
+    )
+    return out[:, :s]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
 def _fused(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, num_heads, scale):
-    out, _, _, _, _ = _fused_fwd_impl(
+    # Primal-only call = inference: skip the residual stores entirely.
+    return _fused_infer_impl(
         x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, num_heads, scale
     )
-    return out
 
 
 def _fused_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, num_heads, scale):

@@ -9,23 +9,35 @@ as no backend has been initialized yet).
 
 import os
 
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
-os.environ["JAX_PLATFORMS"] = "cpu"
+# DEMO2_TEST_TPU=1 keeps the real TPU backend so tests/test_tpu_kernels.py
+# can validate the Pallas kernels on hardware; everything else in the suite
+# assumes the 8-device CPU mesh and should not run in that mode.
+_USE_TPU = os.environ.get("DEMO2_TEST_TPU") == "1"
+
+if not _USE_TPU:
+    os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-try:
-    jax.config.update("jax_num_cpu_devices", 8)
-except Exception:
-    pass
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_num_cpu_devices", 8)
+    except Exception:
+        pass
+else:
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
 import pytest  # noqa: E402
 
 
 @pytest.fixture(scope="session", autouse=True)
 def _assert_cpu():
-    assert jax.default_backend() == "cpu", jax.default_backend()
+    if _USE_TPU:
+        assert jax.default_backend() in ("tpu", "axon"), jax.default_backend()
+    else:
+        assert jax.default_backend() == "cpu", jax.default_backend()
 
 
 @pytest.fixture(scope="session")

@@ -51,6 +51,9 @@ def main():
     cfg.DATALOADER.NUM_INSTANCE = 4
     cfg.TPU.COMPUTE_DTYPE = "bfloat16" if on_tpu else "float32"
     cfg.TPU.USE_FLASH_ATTENTION = on_tpu
+    # bf16 first-moment Adam state: +8 img/s measured; trajectory-tested
+    # against fp32 state (tests/test_solver.py), off in config defaults.
+    cfg.TPU.BF16_MOMENTS = on_tpu
     if not on_tpu:  # CPU smoke fallback so the script always works
         cfg.TPU.BACKBONE_DEPTH = 2
         cfg.TPU.BACKBONE_WIDTH = 64

@@ -251,6 +251,10 @@ class TPUConfig:
     BACKBONE_HEADS: int = -1
     # LoRA rank used when MODEL.FROZEN freezes the backbone.
     LORA_RANK: int = 4
+    # Store Adam's FIRST moment in bf16 (second moment stays fp32) — halves
+    # a third of the optimizer's HBM traffic at a small numerics cost.  OFF
+    # by default: the reference trains with full-fp32 Adam state.
+    BF16_MOMENTS: bool = False
 
 
 @_node

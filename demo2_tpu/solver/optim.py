@@ -137,9 +137,13 @@ def make_optimizer(cfg: Config, params, steps_per_epoch: int):
         )
         return optax.masked(optax.scale(2.0), cls_mask)
 
+    # TPU knob: bf16 first moment (second moment stays fp32) — the standard
+    # mixed-precision Adam variant; OFF by default for exact reference parity.
+    mu_dtype = jnp.bfloat16 if cfg.TPU.BF16_MOMENTS else None
+
     if name == "AdamW":
         tx = optax.chain(
-            optax.scale_by_adam(),
+            optax.scale_by_adam(mu_dtype=mu_dtype),
             optax.add_decayed_weights(wd),  # decoupled
             classifier_scale(),
             optax.scale_by_schedule(lambda s: -schedule(s)),
@@ -148,7 +152,7 @@ def make_optimizer(cfg: Config, params, steps_per_epoch: int):
         tx = optax.chain(
             optax.masked(optax.add_decayed_weights(wd), nonbias_mask),
             optax.masked(optax.add_decayed_weights(wd_bias), bias_mask),
-            optax.scale_by_adam(),
+            optax.scale_by_adam(mu_dtype=mu_dtype),
             classifier_scale(),
             optax.scale_by_schedule(lambda s: -schedule(s)),
         )

@@ -55,3 +55,55 @@ def test_warmup_linear_endpoints():
     np.testing.assert_allclose(lr_at(1), 1e-3)
     np.testing.assert_allclose(lr_at(50), 0.0, atol=1e-12)
     assert lr_at(25) < lr_at(10)
+
+
+def test_bf16_moments_trajectory_close():
+    """TPU.BF16_MOMENTS stores Adam's first moment in bf16; short-horizon
+    training must track the fp32-state trajectory closely (and the moment
+    buffers must actually be bf16)."""
+    import jax
+    import optax
+    from demo2_tpu.solver.optim import make_optimizer
+
+    def run(bf16):
+        cfg = get_cfg_defaults()
+        cfg.SOLVER.OPTIMIZER_NAME = "Adam"
+        cfg.SOLVER.BASE_LR = 1e-3
+        cfg.SOLVER.WARMUP_ITERS = 0
+        cfg.TPU.BF16_MOMENTS = bf16
+        cfg.freeze()
+        params = {
+            "w": jnp.ones((16, 16), jnp.float32) * 0.5,
+            "bias": jnp.zeros((16,), jnp.float32),
+        }
+        tx, _, _ = make_optimizer(cfg, params, steps_per_epoch=10)
+        opt = tx.init(params)
+        x = jax.random.normal(jax.random.PRNGKey(0), (8, 16))
+
+        @jax.jit
+        def step(params, opt):
+            def loss(p):
+                y = x @ p["w"] + p["bias"]
+                return jnp.mean(jnp.square(y - 1.0))
+
+            l, g = jax.value_and_grad(loss)(params)
+            up, opt = tx.update(g, opt, params)
+            return jax.tree_util.tree_map(lambda a, u: a + u, params, up), opt, l
+
+        for _ in range(30):
+            params, opt, l = step(params, opt)
+        return params, opt, float(l)
+
+    p32, _, l32 = run(False)
+    pbf, opt_bf, lbf = run(True)
+    mus = [
+        leaf
+        for leaf in jax.tree_util.tree_leaves(opt_bf)
+        if hasattr(leaf, "dtype") and leaf.dtype == jnp.bfloat16
+    ]
+    assert mus, "no bf16 moment buffers found with TPU.BF16_MOMENTS"
+    np.testing.assert_allclose(l32, lbf, rtol=2e-2, atol=1e-4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p32), jax.tree_util.tree_leaves(pbf)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)

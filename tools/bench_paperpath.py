@@ -35,6 +35,7 @@ cfg.SOLVER.IMS_PER_BATCH = batch_size
 cfg.DATALOADER.NUM_INSTANCE = 8
 cfg.TPU.COMPUTE_DTYPE = "bfloat16"
 cfg.TPU.USE_FLASH_ATTENTION = True
+cfg.TPU.BF16_MOMENTS = True
 cfg.freeze()
 num_classes, camera_num = 171, 6
 h, w = cfg.INPUT.SIZE_TRAIN

@@ -28,9 +28,11 @@ def tsne_plot(
     keep_ids = np.unique(labels)[:max_ids]
     mask = np.isin(labels, keep_ids)
     feats, labs = features[mask], labels[mask]
-    emb = manifold.TSNE(n_components=2, random_state=seed, init="pca").fit_transform(
-        feats
-    )
+    # sklearn requires perplexity < n_samples; clamp for small galleries.
+    perplexity = float(min(30.0, max(2.0, len(feats) - 1)))
+    emb = manifold.TSNE(
+        n_components=2, random_state=seed, init="pca", perplexity=perplexity
+    ).fit_transform(feats)
     emb = (emb - emb.min(0)) / (emb.max(0) - emb.min(0) + 1e-8)
 
     fig, ax = plt.subplots(figsize=(8, 8))

@@ -13,9 +13,43 @@ tests/test_metrics.py.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+
+def _jaccard_kernel(vq_ref, vg_ref, o_ref):
+    """o[i, j] = sum_k min(vq[i, k], vg[j, k]) for one (bi, bj) block."""
+    vq = vq_ref[...]  # (bi, N)
+    vg = vg_ref[...]  # (bj, N)
+    bi = vq.shape[0]
+    rows = []
+    for i in range(bi):
+        rows.append(jnp.sum(jnp.minimum(vq[i][None, :], vg), axis=1))  # (bj,)
+    o_ref[...] = jnp.stack(rows, axis=0)
+
+
+def _jaccard_min_sum(Vq: jnp.ndarray, Vg: jnp.ndarray, bi: int, bj: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nq, k = Vq.shape
+    ng = Vg.shape[0]
+    return pl.pallas_call(
+        _jaccard_kernel,
+        grid=(nq // bi, ng // bj),
+        in_specs=[
+            pl.BlockSpec((bi, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bj, k), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bi, bj), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((nq, ng), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
+    )(Vq.astype(jnp.float32), Vg.astype(jnp.float32))
 
 
 def _rank_positions(dist: jnp.ndarray) -> jnp.ndarray:
@@ -27,6 +61,7 @@ def _rank_positions(dist: jnp.ndarray) -> jnp.ndarray:
     return ranks.at[rows, order].set(jnp.broadcast_to(jnp.arange(n)[None, :], order.shape))
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def re_ranking_device(
     prob_fea: jnp.ndarray,
     gal_fea: jnp.ndarray,
@@ -49,8 +84,14 @@ def re_ranking_device(
     feat = jnp.concatenate([prob_fea, gal_fea], axis=0).astype(f32)
     n = feat.shape[0]
     sq = jnp.sum(jnp.square(feat), axis=1)
-    dist = sq[:, None] + sq[None, :] - 2.0 * feat @ feat.T
-    dist = (dist / jnp.max(dist, axis=0, keepdims=True)).T
+    dist0 = sq[:, None] + sq[None, :] - 2.0 * feat @ feat.T
+    # Reference form is (dist0 / colmax).T; dist0 is symmetric, so that's
+    # dist0 / rowmax — WITHOUT the transpose.  This matters beyond style: on
+    # the remote-execution backend a jit output left in a transposed layout
+    # (a bare `x @ x.T`, or any result ending in `.T`) takes ~600 s for a
+    # 4800^2 fp32 matrix vs 0.05 s layout-normalized (measured; the quirk is
+    # recorded in docs/PERF.md).
+    dist = dist0 / jnp.max(dist0, axis=1, keepdims=True)
 
     ranks = _rank_positions(dist)
     fwd = ranks <= k1
@@ -59,12 +100,17 @@ def re_ranking_device(
     R = fwd & fwd.T
     Rh = fwd_h & fwd_h.T
 
-    Rf = R.astype(f32)
-    Rhf = Rh.astype(f32)
-    inter = Rf @ Rhf.T  # inter[i, j] = |R_i ∩ Rh_j|
-    sizes_h = jnp.sum(Rhf, axis=1)  # |Rh_j|
+    # Mask matmuls in bf16: all values are 0/1 and the counts are bounded by
+    # k1+1 <= 51, far inside bf16's integer-exact range (256) — and bf16 runs
+    # the MXU at full rate where fp32 pays 1/8 (measured 25 s/matmul at
+    # n=4800 in fp32).
+    bf = jnp.bfloat16
+    Rf = R.astype(bf)
+    Rhf = Rh.astype(bf)
+    inter = (Rf @ Rhf.T).astype(f32)  # inter[i, j] = |R_i ∩ Rh_j|
+    sizes_h = jnp.sum(Rh.astype(f32), axis=1)  # |Rh_j|
     cond = R & (inter > (2.0 / 3.0) * sizes_h[None, :])
-    expanded = R | ((cond.astype(f32) @ Rhf) > 0)
+    expanded = R | ((cond.astype(bf) @ Rhf).astype(f32) > 0)
 
     w = jnp.where(expanded, jnp.exp(-dist), 0.0)
     V = w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-12)
@@ -74,7 +120,6 @@ def re_ranking_device(
         V = (topk2 @ V) / k2
 
     # Blocked Jaccard: temp_min[i, j] = sum_k min(V[i, k], V[j, k]).
-    # Double-blocked over (i, j) so the (bi, bj, N) broadcast stays in budget.
     bi = min(block, 64)
     bj = min(block, 256)
     nq_pad = -(-query_num // bi) * bi
@@ -82,17 +127,24 @@ def re_ranking_device(
     Vq = jnp.pad(V[:query_num], ((0, nq_pad - query_num), (0, 0)))
     Vg = jnp.pad(V, ((0, n_pad - n), (0, 0)))
 
-    def body(idx, acc):
-        i = idx // (n_pad // bj)
-        j = idx % (n_pad // bj)
-        qb = jax.lax.dynamic_slice_in_dim(Vq, i * bi, bi, axis=0)
-        gb = jax.lax.dynamic_slice_in_dim(Vg, j * bj, bj, axis=0)
-        tm = jnp.sum(jnp.minimum(qb[:, None, :], gb[None, :, :]), axis=-1)
-        return jax.lax.dynamic_update_slice(acc, tm, (i * bi, j * bj))
+    if jax.default_backend() in ("tpu", "axon"):
+        # Pallas: the (bi, bj, N) broadcast stays in VMEM/registers.  The
+        # XLA fallback below materializes a 315 MB HBM intermediate per
+        # block pair — ~300 GB of traffic at RGBNT201 scale (measured
+        # 340 s); the kernel does the same math in ~1 s.
+        temp_min = _jaccard_min_sum(Vq, Vg, bi, bj)[:query_num, :n]
+    else:
+        def body(idx, acc):
+            i = idx // (n_pad // bj)
+            j = idx % (n_pad // bj)
+            qb = jax.lax.dynamic_slice_in_dim(Vq, i * bi, bi, axis=0)
+            gb = jax.lax.dynamic_slice_in_dim(Vg, j * bj, bj, axis=0)
+            tm = jnp.sum(jnp.minimum(qb[:, None, :], gb[None, :, :]), axis=-1)
+            return jax.lax.dynamic_update_slice(acc, tm, (i * bi, j * bj))
 
-    acc = jnp.zeros((nq_pad, n_pad), f32)
-    acc = jax.lax.fori_loop(0, (nq_pad // bi) * (n_pad // bj), body, acc)
-    temp_min = acc[:query_num, :n]
+        acc = jnp.zeros((nq_pad, n_pad), f32)
+        acc = jax.lax.fori_loop(0, (nq_pad // bi) * (n_pad // bj), body, acc)
+        temp_min = acc[:query_num, :n]
 
     jaccard = 1.0 - temp_min / (2.0 - temp_min)
     final = jaccard * (1 - lambda_value) + dist[:query_num] * lambda_value

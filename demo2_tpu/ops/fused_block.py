@@ -135,11 +135,12 @@ def _fwd_kernel_infer(
     )
 
 
-def _choose_bb(b: int, limit: int = 4) -> int:
-    for bb in (limit, 2, 1):
-        if b % bb == 0:
-            return bb
-    return 1
+# bb policy MUST be the single shared one: the forward saves probs in a
+# program-private head-concat row layout (H*bb rows per program) that
+# packed_attention._packed_bwd_saved re-reads with ITS bb choice. Two
+# divergent policies silently corrupt gradients (e.g. b=12: (8,2,1) picks 2,
+# (8,4,2,1) picks 4). See tests/test_pallas_kernels.py (b=12 grad test).
+from .packed_attention import _choose_bb
 
 
 def _fused_fwd_impl(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, num_heads,

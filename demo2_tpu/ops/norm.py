@@ -122,7 +122,8 @@ class LayerNorm(nn.Module):
     normalize arithmetic stays in bf16 (f32 per-row scalars broadcast in),
     which is the standard mixed-precision LN and saves the 2x HBM traffic of
     fp32 intermediates on the training path.  For fp32 inputs the math is
-    bit-identical to the previous full-fp32 form (parity suite unaffected).
+    numerically equivalent to the previous full-fp32 form within 1 ulp (the
+    d*(rstd*scale)+bias regrouping changes fp32 rounding; parity suite holds).
     """
 
     epsilon: float = 1e-5

@@ -79,6 +79,13 @@ def re_ranking_device(
       expand_i = R_i | union{ Rh_j : j in R_i, |Rh_j ∩ R_i| > 2/3 |Rh_j| }
     and the Jaccard numerator sum_k min(V_i_k, V_j_k) is a blocked VPU sum.
     """
+    # The bf16 mask matmuls below are integer-exact only while counts stay
+    # <= 256; counts are bounded by k1+1, and k1 is a static (Python) arg.
+    if k1 >= 256:
+        raise ValueError(
+            f"re_ranking_device: k1={k1} >= 256 would overflow the bf16 "
+            "integer-exact range used for the set-intersection matmuls"
+        )
     f32 = jnp.float32
     query_num = prob_fea.shape[0]
     feat = jnp.concatenate([prob_fea, gal_fea], axis=0).astype(f32)

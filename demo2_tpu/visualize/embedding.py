@@ -28,8 +28,11 @@ def tsne_plot(
     keep_ids = np.unique(labels)[:max_ids]
     mask = np.isin(labels, keep_ids)
     feats, labs = features[mask], labels[mask]
-    # sklearn requires perplexity < n_samples; clamp for small galleries.
-    perplexity = float(min(30.0, max(2.0, len(feats) - 1)))
+    if len(feats) < 4:  # t-SNE is meaningless below a handful of points
+        return None
+    # sklearn requires perplexity < n_samples; (n-1)/3 keeps it valid (and
+    # sensible) all the way down to the 4-sample floor above.
+    perplexity = float(max(1.0, min(30.0, (len(feats) - 1) / 3.0)))
     emb = manifold.TSNE(
         n_components=2, random_state=seed, init="pca", perplexity=perplexity
     ).fit_transform(feats)

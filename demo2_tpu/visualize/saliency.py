@@ -84,16 +84,20 @@ def gradcam(
             train=False, patch_perturb=pp,
         )
 
-    out0 = run(zeros)
-    branches = out0["branches"]
-    bname = branch if branch is not None else next(iter(branches.keys()))
-    if class_idx is None:
-        class_idx = jnp.argmax(branches[bname][0], axis=-1)  # (B,)
-
+    # One forward total: when class_idx is None the per-sample argmax class
+    # is picked from the SAME primal forward that value_and_grad runs (the
+    # argmax indices carry no gradient, so this matches pytorch_grad_cam's
+    # targets=None semantics without a second full forward).
     def target(pp):
         out = run(pp)
+        bname = branch if branch is not None else next(iter(out["branches"]))
         logits = out["branches"][bname][0]  # (B, num_classes)
-        picked = jnp.take_along_axis(logits, class_idx[:, None], axis=-1)
+        idx = (
+            jnp.argmax(jax.lax.stop_gradient(logits), axis=-1)
+            if class_idx is None
+            else class_idx
+        )
+        picked = jnp.take_along_axis(logits, idx[:, None], axis=-1)
         return jnp.sum(picked), out["patches"]
 
     (_, acts), grads = jax.value_and_grad(target, has_aux=True)(zeros)

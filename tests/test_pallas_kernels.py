@@ -5,6 +5,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from demo2_tpu.ops.packed_attention import (
     _packed_bwd,
@@ -73,14 +74,21 @@ def test_fused_attention_block_interpret():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
 
 
-def test_fused_attention_block_grad_matches_unfused():
+@pytest.mark.parametrize("b", [4, 12])
+def test_fused_attention_block_grad_matches_unfused(b):
     """The custom-VJP backward (saved-residual chain) must equal XLA's
-    gradient of the unfused reference implementation."""
+    gradient of the unfused reference implementation.
+
+    b=12 regression-tests the bb-policy split: the forward's saved-probs
+    layout (H*bb rows per program) must be read back with the SAME bb by
+    _packed_bwd_saved — fused_block's old private _choose_bb picked bb=2
+    for b=12 while packed_attention picked 4, silently corrupting grads.
+    """
     from demo2_tpu.ops.fused_block import (
         _fused_fwd_impl, _fused_bwd, _reference_impl,
     )
 
-    b, s, c, h = 4, 11, 32, 4
+    s, c, h = 11, 32, 4
     rng = jax.random.PRNGKey(7)
     x = jax.random.normal(rng, (b, s, c), jnp.float32)
     lns = jnp.ones((c,), jnp.float32) * 1.1

@@ -99,14 +99,16 @@ class TriModalDataPipe:
                     return False
         return True
 
-    def _native_batch_images(self, indices, seed) -> np.ndarray:
+    def _native_batch_images(self, indices, seed, positions=None) -> np.ndarray:
         """Native path: (B, 3, H, W, 3) float32 via libd2tloader."""
         from .native import load_batch_native, sample_train_params
 
         h, w = self.transform.size
+        if positions is None:
+            positions = range(len(indices))
         paths, params = [], []
-        for k, idx in enumerate(indices):
-            rng = np.random.default_rng((seed, int(idx), k))
+        for k, idx in zip(positions, indices):
+            rng = np.random.default_rng((seed, int(idx), int(k)))
             ref = self.samples[idx][0]
             if isinstance(ref, str):  # wide-strip layout (RGBNT100)
                 strips = [(0, 0, 256, 128), (256, 0, 512, 128), (512, 0, 768, 128)]
@@ -139,16 +141,24 @@ class TriModalDataPipe:
         # Transforms applied independently per modality (bases.py:103-104).
         return np.stack([self.transform(im, rng) for im in imgs])  # (3, H, W, 3)
 
-    def _make_batch(self, indices: np.ndarray, seed: int, pad_to: Optional[int]) -> Batch:
+    def _make_batch(
+        self, indices: np.ndarray, seed: int, pad_to: Optional[int],
+        positions: Optional[np.ndarray] = None,
+    ) -> Batch:
+        """``positions`` are the rows' GLOBAL batch positions — they key the
+        per-sample augmentation RNG so a multi-host slice draws the same
+        augmentations as the single-host full batch (parallel/multihost.py)."""
         valid = len(indices)
         if pad_to is not None and valid < pad_to:
             indices = np.concatenate([indices, np.full(pad_to - valid, indices[-1])])
+        if positions is None:
+            positions = np.arange(len(indices))
         if self.use_native:
-            images = self._native_batch_images(indices, seed)
+            images = self._native_batch_images(indices, seed, positions)
         else:
             rngs = [
-                np.random.default_rng((seed, int(i), k))
-                for k, i in enumerate(indices)
+                np.random.default_rng((seed, int(i), int(k)))
+                for k, i in zip(positions, indices)
             ]
             arrs = list(self.pool.map(self._load_one, indices, rngs))
             images = np.stack(arrs).astype(np.float32)

@@ -53,10 +53,15 @@ def build_eval_step(cfg: Config, model, mesh=None):
     if mesh is not None:
         repl = replicated_sharding(mesh)
         bsh = batch_sharding(mesh)
+        # Multi-process: replicate the features (an in-graph all-gather over
+        # ICI) so every host materializes the full matrix and computes
+        # identical CMC/mAP — the reference's rank-0 eval
+        # (processor.py:146-148), made symmetric.
+        out = repl if jax.process_count() > 1 else bsh
         return jax.jit(
             eval_step,
             in_shardings=(repl, repl, bsh, bsh, bsh, repl),
-            out_shardings=bsh,
+            out_shardings=out,
             static_argnums=(6,),
         )
     return jax.jit(eval_step, static_argnums=(6,))
@@ -70,8 +75,14 @@ def run_eval(
     num_query: int,
     return_pattern: int = 3,
     rank_list_path: Optional[str] = None,
+    mesh=None,
 ) -> Tuple[np.ndarray, float]:
-    """Extract features over query+gallery and compute CMC/mAP."""
+    """Extract features over query+gallery and compute CMC/mAP.
+
+    With ``mesh`` the input goes through the host-sharded path
+    (parallel/multihost.py): each process decodes only its rows; metadata is
+    global on every host, so all hosts compute the same metrics.
+    """
     scene_protocol = cfg.DATASETS.NAMES == "MSVR310"
     evaluator = R1mAPEvaluator(
         num_query=num_query,
@@ -81,25 +92,45 @@ def run_eval(
     )
     mask = jnp.asarray(MISS_MASKS[str(cfg.TEST.MISS)], jnp.float32)
     order = np.arange(len(val_pipe.samples))
-    for batch in val_pipe.iter_batches(order, drop_last=False, pad_last=True):
-        feat = eval_step(
-            state.params,
-            state.batch_stats,
-            jnp.asarray(batch.images),
-            jnp.asarray(batch.camids),
-            jnp.asarray(batch.viewids),
-            mask,
-            return_pattern,
-        )
-        v = batch.valid
-        evaluator.update(
-            np.asarray(feat)[:v],
-            batch.pids[:v],
-            batch.camids[:v],
-            batch.viewids[:v] if scene_protocol else None,
-        )
+
+    if mesh is not None:
+        from ..parallel.multihost import HostShardedBatches
+
+        batches = HostShardedBatches(val_pipe, mesh)
+        for gb in batches.iter_batches(order, drop_last=False, pad_last=True):
+            feat = eval_step(
+                state.params, state.batch_stats,
+                gb.images, gb.camids, gb.viewids, mask, return_pattern,
+            )
+            v = gb.valid
+            evaluator.update(
+                np.asarray(feat)[:v],
+                gb.meta_pids[:v],
+                gb.meta_camids[:v],
+                gb.meta_viewids[:v] if scene_protocol else None,
+            )
+    else:
+        for batch in val_pipe.iter_batches(order, drop_last=False, pad_last=True):
+            feat = eval_step(
+                state.params,
+                state.batch_stats,
+                jnp.asarray(batch.images),
+                jnp.asarray(batch.camids),
+                jnp.asarray(batch.viewids),
+                mask,
+                return_pattern,
+            )
+            v = batch.valid
+            evaluator.update(
+                np.asarray(feat)[:v],
+                batch.pids[:v],
+                batch.camids[:v],
+                batch.viewids[:v] if scene_protocol else None,
+            )
     if rank_list_path is None and scene_protocol:
         rank_list_path = "re.txt"  # reference always writes this for MSVR310
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        rank_list_path = None  # rank-0 writes the rank list file
     cmc, mAP = evaluator.compute(
         on_device=cfg.TPU.EVAL_ON_DEVICE, rank_list_path=rank_list_path
     )
@@ -110,7 +141,8 @@ def do_inference(cfg: Config, model, state, val_pipe, num_query: int,
                  return_pattern: int = 3, mesh=None):
     """`do_inference` equivalent (reference: processor.py:193-244)."""
     eval_step = build_eval_step(cfg, model, mesh)
-    cmc, mAP = run_eval(cfg, eval_step, state, val_pipe, num_query, return_pattern)
+    cmc, mAP = run_eval(cfg, eval_step, state, val_pipe, num_query,
+                        return_pattern, mesh=mesh)
     logger.info("Validation Results")
     logger.info("mAP: %.1f%%", mAP * 100)
     for r in (1, 5, 10):

@@ -223,18 +223,27 @@ def do_train(
     steps_per_epoch = max(1, len(sampler) // train_pipe.batch_size)
     start_epoch = 1 + int(state.step) // steps_per_epoch
 
+    # One input path for single- and multi-host: every process computes the
+    # same global PK order from the shared (seed, epoch) and feeds exactly
+    # its addressable devices' rows (parallel/multihost.py; the reference's
+    # sampler_ddp.py:117-201 strided slice, driven by the sharding itself).
+    from ..parallel.multihost import HostShardedBatches, is_primary
+
+    train_batches = HostShardedBatches(train_pipe, mesh)
+    primary = is_primary()
+
     for epoch in range(start_epoch, epochs + 1):
         t0 = time.time()
         losses, accs, n_iter = [], [], 0
         order = sampler.epoch_indices(epoch)
-        for images, pids, camids, viewids, batch in device_prefetch(
-            train_pipe.iter_batches(order, seed=epoch), mesh
-        ):
-            state, metrics = train_step(state, images, pids, camids, viewids, rng)
+        for gb in train_batches.iter_batches(order, seed=epoch):
+            state, metrics = train_step(
+                state, gb.images, gb.pids, gb.camids, gb.viewids, rng
+            )
             losses.append(metrics["loss"])
             accs.append(metrics["acc"])
             n_iter += 1
-            if n_iter % log_period == 0:
+            if n_iter % log_period == 0 and primary:
                 lr = float(schedule(int(state.step))) if schedule else 0.0
                 logger.info(
                     "Epoch[%d] Iteration[%d] Loss: %.3f, Acc: %.3f, Base Lr: %.2e",
@@ -249,40 +258,45 @@ def do_train(
         if n_iter:
             jax.block_until_ready(state.params)
             dt = (time.time() - t0) / n_iter
-            logger.info(
-                "Epoch %d done. Time per batch: %.3f[s] Speed: %.1f[samples/s]",
-                epoch, dt, train_pipe.batch_size / dt,
-            )
+            if primary:
+                logger.info(
+                    "Epoch %d done. Time per batch: %.3f[s] Speed: %.1f[samples/s]",
+                    epoch, dt, train_pipe.batch_size / dt,
+                )
 
-        if checkpoint_dir and ckpt_period and epoch % ckpt_period == 0:
+        if checkpoint_dir and ckpt_period and epoch % ckpt_period == 0 and primary:
             save_checkpoint(checkpoint_dir, state, step=int(state.step),
                             name=exp_name or cfg.MODEL.NAME)
 
         if epoch % eval_period == 0 and val_pipe is not None:
             patterns = (1, 2, 3) if use_moe_eval and (cfg.MODEL.HDM or cfg.MODEL.ATM) else (3,)
             for pat in patterns[:-1]:
-                run_eval(cfg, eval_step, state, val_pipe, num_query, return_pattern=pat)
+                run_eval(cfg, eval_step, state, val_pipe, num_query,
+                         return_pattern=pat, mesh=mesh)
             cmc, mAP = run_eval(
-                cfg, eval_step, state, val_pipe, num_query, return_pattern=patterns[-1]
+                cfg, eval_step, state, val_pipe, num_query,
+                return_pattern=patterns[-1], mesh=mesh,
             )
-            logger.info("Validation Results - Epoch: %d", epoch)
-            logger.info("mAP: %.1f%%", mAP * 100)
-            for r in (1, 5, 10):
-                logger.info("CMC curve, Rank-%d: %.1f%%", r, cmc[r - 1] * 100)
+            if primary:
+                logger.info("Validation Results - Epoch: %d", epoch)
+                logger.info("mAP: %.1f%%", mAP * 100)
+                for r in (1, 5, 10):
+                    logger.info("CMC curve, Rank-%d: %.1f%%", r, cmc[r - 1] * 100)
             if mAP >= best["mAP"]:
                 best.update(
                     {"mAP": mAP, "Rank-1": cmc[0], "Rank-5": cmc[4] if len(cmc) > 4 else 0.0,
                      "Rank-10": cmc[9] if len(cmc) > 9 else 0.0}
                 )
-                if checkpoint_dir:
+                if checkpoint_dir and primary:
                     # Best-mAP checkpoint in its own dir so periodic saves
                     # can't evict it (reference keeps best-only, :157-168).
                     save_checkpoint(checkpoint_dir + "_best", state,
                                     step=int(state.step),
                                     name=exp_name or cfg.MODEL.NAME)
-            if writer is not None:
+            if writer is not None and primary:
                 writer.add_scalar("Val/mAP", mAP, epoch)
                 writer.add_scalar("Val/Rank-1", float(cmc[0]), epoch)
                 writer.add_scalar("Val_Best/mAP", best["mAP"], epoch)
-            logger.info("Best mAP: %.1f%%", best["mAP"] * 100)
+            if primary:
+                logger.info("Best mAP: %.1f%%", best["mAP"] * 100)
     return state, best

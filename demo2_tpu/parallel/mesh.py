@@ -7,9 +7,10 @@ all-reduce over ICI automatically, and BatchNorm statistics are computed over
 the GLOBAL batch (a jnp.mean over a sharded axis lowers to a psum), which is
 strictly better-behaved than per-GPU BN in the reference.
 
-Multi-host: `jax.distributed.initialize` + per-host data sharding slots in
-here transparently (SURVEY §2.12); single-host multi-chip needs no process
-groups at all.
+Multi-host: `jax.distributed.initialize` + the per-host input slice in
+parallel/multihost.py (each process feeds exactly its addressable devices'
+rows of the global batch); single-host multi-chip needs no process groups
+at all.
 """
 
 from __future__ import annotations
@@ -23,8 +24,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def make_mesh(num_devices: int = -1, devices=None) -> Mesh:
     if devices is None:
-        devices = jax.devices()
+        devices = jax.devices()  # GLOBAL devices under jax.distributed
     if num_devices and num_devices > 0:
+        if jax.process_count() > 1 and num_devices != len(devices):
+            # A truncated mesh would leave some hosts' addressable devices
+            # outside it, deadlocking collectives — multi-process always
+            # runs the full global mesh.
+            raise ValueError(
+                f"make_mesh(num_devices={num_devices}) with "
+                f"{jax.process_count()} processes: multi-host requires the "
+                f"full global mesh ({len(devices)} devices)"
+            )
         devices = devices[:num_devices]
     return Mesh(np.asarray(devices), ("data",))
 

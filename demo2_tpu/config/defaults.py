@@ -255,6 +255,12 @@ class TPUConfig:
     # a third of the optimizer's HBM traffic at a small numerics cost.  OFF
     # by default: the reference trains with full-fp32 Adam state.
     BF16_MOMENTS: bool = False
+    # Input pipeline: 'host' re-decodes per epoch (reference DataLoader
+    # semantics); 'device' decodes once into an HBM-resident uint8 cache and
+    # runs the random augmentations in-graph (data/device_cache.py) — the
+    # TPU-first path that decouples throughput from host decode (this host
+    # has ONE core and tops out at ~108 samples/s of JPEG decode).
+    DATA_CACHE: str = "host"
 
 
 @_node

@@ -1,0 +1,268 @@
+"""HBM-resident dataset cache + on-device augmentation.
+
+The reference re-decodes every JPEG every epoch through a multi-worker
+torch DataLoader (engine/processor.py:56, make_dataloader.py:214-259).  On
+this TPU host (ONE cpu core) that caps end-to-end training at ~108
+samples/s (tools/bench_loader.py) — far below the ~600 img/s the chip
+sustains.  TPU-first redesign: decode+resize every image ONCE at startup
+into a uint8 cache that lives in device HBM (RGBNT201 train at 256x128
+tri-modal is ~390 MB — a few % of HBM), then run the per-epoch random
+augmentations IN-GRAPH on the TPU.  The steady-state input cost becomes a
+(B,) int32 index transfer per step plus ~1 ms of on-device elementwise work,
+so training throughput is decoupled from host decode entirely.
+
+Augmentation parity (host pipeline, data/transforms.py / reference
+make_dataloader.py:188-196): resize(bicubic, cached) -> random hflip(0.5)
+-> /255 -> pad(10, zeros) -> random crop -> normalize(mean,std) -> timm
+pixel-mode RandomErasing(p=0.5, area U(0.02,1/3), log-aspect U(0.3,1/0.3),
+10 attempts, N(0,1) fill).  Parameter DISTRIBUTIONS are identical (asserted
+by tests/test_device_cache.py against the host transform given the same
+draws); only the RNG stream differs (jax.random instead of numpy), exactly
+like the documented native-loader erase-noise delta.
+
+Transforms are applied independently per modality (bases.py:103-104): every
+(sample, modality) pair draws its own flip/crop/erase.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# On-device augmentation
+# ---------------------------------------------------------------------------
+
+
+def draw_aug_params(
+    key,
+    batch: int,
+    size: Tuple[int, int],
+    flip_prob: float = 0.5,
+    padding: int = 10,
+    re_prob: float = 0.5,
+    min_area: float = 0.02,
+    max_area: float = 1.0 / 3.0,
+    min_aspect: float = 0.3,
+    attempts: int = 10,
+):
+    """Draw per-(sample, modality) augmentation parameters, shapes (B, 3).
+
+    Mirrors TrainTransform/random_erasing's rejection loop: ``attempts``
+    (target, aspect) proposals per image, the first with eh<h and ew<w wins;
+    none valid -> no erase (same as the host loop falling through).
+    """
+    h, w = size
+    kf, kct, kcl, kg, kt, ka, ku, kv, kn = jax.random.split(key, 9)
+    shape = (batch, 3)
+    flip = jax.random.uniform(kf, shape) < flip_prob
+    crop_top = jax.random.randint(kct, shape, 0, 2 * padding + 1)
+    crop_left = jax.random.randint(kcl, shape, 0, 2 * padding + 1)
+
+    area = float(h * w)
+    tgt = jax.random.uniform(
+        kt, shape + (attempts,), minval=min_area, maxval=max_area
+    ) * area
+    log_r = (np.log(min_aspect), np.log(1.0 / min_aspect))
+    asp = jnp.exp(
+        jax.random.uniform(ka, shape + (attempts,), minval=log_r[0], maxval=log_r[1])
+    )
+    eh = jnp.round(jnp.sqrt(tgt * asp)).astype(jnp.int32)
+    ew = jnp.round(jnp.sqrt(tgt / asp)).astype(jnp.int32)
+    valid = (eh < h) & (ew < w)
+    first = jnp.argmax(valid, axis=-1)  # first valid attempt
+    found = jnp.any(valid, axis=-1)
+    eh = jnp.take_along_axis(eh, first[..., None], -1)[..., 0]
+    ew = jnp.take_along_axis(ew, first[..., None], -1)[..., 0]
+    # top ~ U{0..h-eh}: floor(u * (h-eh+1)) == rng.integers(0, h-eh+1).
+    etop = jnp.floor(
+        jax.random.uniform(ku, shape) * (h - eh + 1).astype(jnp.float32)
+    ).astype(jnp.int32)
+    eleft = jnp.floor(
+        jax.random.uniform(kv, shape) * (w - ew + 1).astype(jnp.float32)
+    ).astype(jnp.int32)
+    do_erase = (jax.random.uniform(kg, shape) <= re_prob) & found
+    return {
+        "flip": flip,
+        "crop_top": crop_top,
+        "crop_left": crop_left,
+        "erase": do_erase,
+        "erase_top": etop,
+        "erase_left": eleft,
+        "erase_h": eh,
+        "erase_w": ew,
+        "noise_key": kn,
+    }
+
+
+def apply_augment(
+    u8: jnp.ndarray,
+    params,
+    mean: Sequence[float],
+    std: Sequence[float],
+    padding: int = 10,
+) -> jnp.ndarray:
+    """uint8 (B, 3, H, W, 3) -> augmented float32, host-pipeline order."""
+    b, m, h, w, c = u8.shape
+    x = u8.astype(jnp.float32) / 255.0
+    x = jnp.where(params["flip"][..., None, None, None], x[:, :, :, ::-1, :], x)
+    p = padding
+    x = jnp.pad(x, ((0, 0), (0, 0), (p, p), (p, p), (0, 0)))
+    rows = params["crop_top"][..., None] + jnp.arange(h)  # (B, 3, h)
+    x = jnp.take_along_axis(x, rows[..., None, None], axis=2)
+    cols = params["crop_left"][..., None] + jnp.arange(w)  # (B, 3, w)
+    x = jnp.take_along_axis(x, cols[:, :, None, :, None], axis=3)
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+    x = (x - mean) / std
+    yy = jnp.arange(h)[None, None, :, None]
+    xx = jnp.arange(w)[None, None, None, :]
+    top = params["erase_top"][..., None, None]
+    left = params["erase_left"][..., None, None]
+    rect = (
+        (yy >= top)
+        & (yy < top + params["erase_h"][..., None, None])
+        & (xx >= left)
+        & (xx < left + params["erase_w"][..., None, None])
+        & params["erase"][..., None, None]
+    )
+    noise = jax.random.normal(params["noise_key"], x.shape, jnp.float32)
+    return jnp.where(rect[..., None], noise, x)
+
+
+def augment_batch(u8, key, size, mean, std, flip_prob=0.5, padding=10, re_prob=0.5):
+    params = draw_aug_params(
+        key, u8.shape[0], size, flip_prob=flip_prob, padding=padding, re_prob=re_prob
+    )
+    return apply_augment(u8, params, mean, std, padding=padding)
+
+
+def normalize_batch(u8, mean, std) -> jnp.ndarray:
+    """Eval path: /255 + normalize only (EvalTransform)."""
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+    return (u8.astype(jnp.float32) / 255.0 - mean) / std
+
+
+# ---------------------------------------------------------------------------
+# Decode-once cache
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class DeviceCache:
+    """Decoded dataset resident on device (replicated over the mesh)."""
+
+    images: Any  # (N, 3, H, W, 3) uint8 jax.Array
+    pids: Any  # (N,) int32
+    camids: Any
+    viewids: Any
+    size: Tuple[int, int]
+    mean: Tuple[float, ...]
+    std: Tuple[float, ...]
+    train: bool  # True -> augment_batch; False -> normalize_batch
+    flip_prob: float = 0.5
+    padding: int = 10
+    re_prob: float = 0.5
+    decode_seconds: float = 0.0  # one-time decode cost (reported by benches)
+
+
+def _decode_all(pipe, train: bool) -> np.ndarray:
+    """Decode + resize every sample once -> (N, 3, H, W, 3) uint8."""
+    from PIL import Image
+
+    from .loader import read_image
+
+    h, w = pipe.transform.size
+    n = len(pipe.samples)
+    out = np.empty((n, 3, h, w, 3), np.uint8)
+
+    if pipe.use_native and train:
+        # Native decode+bicubic resize, no augment (identity params),
+        # mean=0/std=1 -> [0,1] floats -> uint8 (same quantization as the
+        # host path, which also stores uint8 post-resize).
+        from .native import eval_params, load_batch_native
+
+        chunk = 256
+        strips = [(0, 0, 256, 128), (256, 0, 512, 128), (512, 0, 768, 128)]
+        for start in range(0, n, chunk):
+            idxs = range(start, min(n, start + chunk))
+            paths, params = [], []
+            for i in idxs:
+                ref = pipe.samples[i][0]
+                if isinstance(ref, str):  # wide-strip layout
+                    for st in strips:
+                        paths.append(ref)
+                        params.append(eval_params(st))
+                else:
+                    for p in ref:
+                        paths.append(p)
+                        params.append(eval_params(None))
+            flat = load_batch_native(
+                paths, params, h, w, (0.0, 0.0, 0.0), (1.0, 1.0, 1.0),
+                num_threads=pipe.num_workers,
+            )
+            out[start : start + len(list(idxs))] = (
+                np.clip(np.round(flat.reshape(-1, 3, h, w, 3) * 255.0), 0, 255)
+                .astype(np.uint8)
+            )
+        return out
+
+    interp = Image.BICUBIC if train else Image.BILINEAR  # torchvision parity
+
+    def one(i):
+        imgs = read_image(pipe.samples[i][0], pipe.dataset)
+        return np.stack(
+            [np.asarray(im.resize((w, h), interp), np.uint8) for im in imgs]
+        )
+
+    for i, arr in enumerate(pipe.pool.map(one, range(n))):
+        out[i] = arr
+    return out
+
+
+def _replicated_global(mesh, arr: np.ndarray):
+    """Fully-replicated jax.Array on the mesh; multi-process safe."""
+    from ..parallel.mesh import replicated_sharding
+
+    if mesh is None:
+        return jnp.asarray(arr)
+    sh = replicated_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sh)
+    bufs = [jax.device_put(arr, d) for d in sh.addressable_devices]
+    return jax.make_array_from_single_device_arrays(arr.shape, sh, bufs)
+
+
+def build_device_cache(pipe, mesh=None, train: Optional[bool] = None) -> DeviceCache:
+    """Decode the pipe's dataset once and park it in device HBM."""
+    import time
+
+    from .transforms import TrainTransform
+
+    if train is None:
+        train = isinstance(pipe.transform, TrainTransform)
+    t0 = time.perf_counter()
+    images = _decode_all(pipe, train)
+    decode_s = time.perf_counter() - t0
+    meta = pipe.samples
+    tf = pipe.transform
+    return DeviceCache(
+        images=_replicated_global(mesh, images),
+        pids=_replicated_global(mesh, np.asarray([s[1] for s in meta], np.int32)),
+        camids=_replicated_global(mesh, np.asarray([s[2] for s in meta], np.int32)),
+        viewids=_replicated_global(mesh, np.asarray([s[3] for s in meta], np.int32)),
+        size=(tf.size[0], tf.size[1]),
+        mean=tuple(float(v) for v in np.asarray(tf.mean).ravel()),
+        std=tuple(float(v) for v in np.asarray(tf.std).ravel()),
+        train=train,
+        flip_prob=getattr(tf, "flip_prob", 0.5),
+        padding=getattr(tf, "padding", 10),
+        re_prob=getattr(tf, "re_prob", 0.5),
+        decode_seconds=decode_s,
+    )

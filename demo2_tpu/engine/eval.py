@@ -37,7 +37,12 @@ MISS_MASKS = {
 }
 
 
-def build_eval_step(cfg: Config, model, mesh=None):
+def build_eval_step(cfg: Config, model, mesh=None, device_cache=None):
+    """With ``device_cache`` the step takes (params, batch_stats,
+    cache_images, cache_camids, cache_viewids, idx, mask, pattern) and
+    gathers+normalizes the batch from the HBM uint8 cache in-graph
+    (data/device_cache.py)."""
+
     def eval_step(params, batch_stats, images, camids, viewids, mask, return_pattern):
         out = model.apply(
             {"params": params, "batch_stats": batch_stats},
@@ -49,6 +54,30 @@ def build_eval_step(cfg: Config, model, mesh=None):
             return_pattern=return_pattern,
         )
         return out["embedding"]
+
+    if device_cache is not None:
+        from ..data.device_cache import normalize_batch
+
+        dc = device_cache
+
+        def eval_step_cached(params, batch_stats, cimg, ccam, cview, idx, mask,
+                             return_pattern):
+            take = lambda a: jnp.take(a, idx, axis=0, mode="clip")
+            images = normalize_batch(take(cimg), dc.mean, dc.std)
+            return eval_step(params, batch_stats, images, take(ccam), take(cview),
+                             mask, return_pattern)
+
+        if mesh is not None:
+            repl = replicated_sharding(mesh)
+            bsh = batch_sharding(mesh)
+            out = repl if jax.process_count() > 1 else bsh
+            return jax.jit(
+                eval_step_cached,
+                in_shardings=(repl, repl, repl, repl, repl, bsh, repl),
+                out_shardings=out,
+                static_argnums=(7,),
+            )
+        return jax.jit(eval_step_cached, static_argnums=(7,))
 
     if mesh is not None:
         repl = replicated_sharding(mesh)
@@ -76,12 +105,17 @@ def run_eval(
     return_pattern: int = 3,
     rank_list_path: Optional[str] = None,
     mesh=None,
+    device_cache=None,
 ) -> Tuple[np.ndarray, float]:
     """Extract features over query+gallery and compute CMC/mAP.
 
     With ``mesh`` the input goes through the host-sharded path
     (parallel/multihost.py): each process decodes only its rows; metadata is
-    global on every host, so all hosts compute the same metrics.
+    global on every host, so all hosts compute the same metrics.  With
+    ``device_cache`` (built by data/device_cache.build_device_cache over
+    ``val_pipe``) only index batches are fed and the decode happens zero
+    times per eval — `eval_step` must then come from
+    `build_eval_step(..., device_cache=...)`.
     """
     scene_protocol = cfg.DATASETS.NAMES == "MSVR310"
     evaluator = R1mAPEvaluator(
@@ -93,7 +127,31 @@ def run_eval(
     mask = jnp.asarray(MISS_MASKS[str(cfg.TEST.MISS)], jnp.float32)
     order = np.arange(len(val_pipe.samples))
 
-    if mesh is not None:
+    if device_cache is not None:
+        from ..parallel.multihost import iter_index_batches
+
+        meta = val_pipe.samples
+        pids_np = np.asarray([m[1] for m in meta], np.int32)
+        cams_np = np.asarray([m[2] for m in meta], np.int32)
+        views_np = np.asarray([m[3] for m in meta], np.int32)
+        cursor = 0  # iter_index_batches consumes `order` sequentially
+        for idx_g, valid in iter_index_batches(
+            mesh, order, val_pipe.batch_size, drop_last=False, pad_last=True
+        ):
+            feat = eval_step(
+                state.params, state.batch_stats, device_cache.images,
+                device_cache.camids, device_cache.viewids, idx_g, mask,
+                return_pattern,
+            )
+            sel = np.asarray(order[cursor : cursor + valid], np.int64)
+            cursor += valid
+            evaluator.update(
+                np.asarray(feat)[:valid],
+                pids_np[sel],
+                cams_np[sel],
+                views_np[sel] if scene_protocol else None,
+            )
+    elif mesh is not None:
         from ..parallel.multihost import HostShardedBatches
 
         batches = HostShardedBatches(val_pipe, mesh)
@@ -140,9 +198,14 @@ def run_eval(
 def do_inference(cfg: Config, model, state, val_pipe, num_query: int,
                  return_pattern: int = 3, mesh=None):
     """`do_inference` equivalent (reference: processor.py:193-244)."""
-    eval_step = build_eval_step(cfg, model, mesh)
+    val_cache = None
+    if cfg.TPU.DATA_CACHE == "device":
+        from ..data.device_cache import build_device_cache
+
+        val_cache = build_device_cache(val_pipe, mesh, train=False)
+    eval_step = build_eval_step(cfg, model, mesh, device_cache=val_cache)
     cmc, mAP = run_eval(cfg, eval_step, state, val_pipe, num_query,
-                        return_pattern, mesh=mesh)
+                        return_pattern, mesh=mesh, device_cache=val_cache)
     logger.info("Validation Results")
     logger.info("mAP: %.1f%%", mAP * 100)
     for r in (1, 5, 10):

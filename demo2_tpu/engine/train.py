@@ -38,7 +38,7 @@ logger = logging.getLogger("DeMo")
 
 
 def build_train_step(cfg: Config, model, tx, center_tx, mesh=None, donate: bool = True,
-                     scan_steps: int = 0):
+                     scan_steps: int = 0, device_cache=None):
     """Jitted data-parallel train step.
 
     With ``scan_steps=K > 0`` the returned function consumes K stacked
@@ -46,6 +46,14 @@ def build_train_step(cfg: Config, model, tx, center_tx, mesh=None, donate: bool 
     via `lax.scan` — amortizing the per-dispatch overhead of the remote
     execution tunnel (~1-3 ms, docs/PERF.md) that a Python-loop driver pays
     per step. Metrics are averaged over the K steps.
+
+    With ``device_cache`` (data/device_cache.DeviceCache) the step takes
+    ``(state, cache_images, cache_pids, cache_camids, cache_viewids, idx,
+    rng)``: it gathers the batch from the HBM-resident uint8 cache and runs
+    the random augmentations in-graph, so the only per-step host->device
+    transfer is the (B,) int32 index vector.  Cache arrays are jit ARGUMENTS
+    (a closure would embed ~400 MB as HLO literals and break remote compile,
+    docs/PERF.md).
     """
     loss_fn_branch = make_loss_fn(cfg, model.num_classes)
     use_center = "center" in cfg.MODEL.METRIC_LOSS_TYPE
@@ -117,6 +125,49 @@ def build_train_step(cfg: Config, model, tx, center_tx, mesh=None, donate: bool 
         )
         metrics = {"loss": loss, "acc": acc}
         return new_state, metrics
+
+    if device_cache is not None:
+        from ..data.device_cache import augment_batch
+
+        dc = device_cache
+
+        def train_step_cached(state, cimg, cpid, ccam, cview, idx, rng):
+            key = jax.random.fold_in(jax.random.fold_in(rng, state.step), 0xA06)
+            take = functools.partial(jnp.take, axis=0, mode="clip")
+            images = augment_batch(
+                take(cimg, idx), key, dc.size, dc.mean, dc.std,
+                dc.flip_prob, dc.padding, dc.re_prob,
+            )
+            return train_step(
+                state, images, take(cpid, idx), take(ccam, idx), take(cview, idx), rng
+            )
+
+        if scan_steps and scan_steps > 0:
+
+            def train_scan_cached(state, cimg, cpid, ccam, cview, idx_k, rng):
+                def body(carry, idx):
+                    return train_step_cached(carry, cimg, cpid, ccam, cview, idx, rng)
+
+                state, metrics = jax.lax.scan(body, state, idx_k, length=scan_steps)
+                return state, jax.tree_util.tree_map(jnp.mean, metrics)
+
+            fn, idx_rank2 = train_scan_cached, True
+        else:
+            fn, idx_rank2 = train_step_cached, False
+
+        if mesh is not None:
+            repl = replicated_sharding(mesh)
+            ish = (
+                NamedSharding(mesh, P(None, "data")) if idx_rank2
+                else batch_sharding(mesh)
+            )
+            return jax.jit(
+                fn,
+                in_shardings=(repl, repl, repl, repl, repl, ish, repl),
+                out_shardings=(repl, repl),
+                donate_argnums=(0,) if donate else (),
+            )
+        return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
     if scan_steps and scan_steps > 0:
 
@@ -210,10 +261,23 @@ def do_train(
 
     if mesh is None:
         mesh = make_mesh(cfg.TPU.NUM_DEVICES)
+    use_cache = cfg.TPU.DATA_CACHE == "device"
+    train_cache = val_cache = None
+    if use_cache:
+        from ..data.device_cache import build_device_cache
+
+        train_cache = build_device_cache(train_pipe, mesh, train=True)
+        logger.info("device cache: decoded %d train samples once in %.1fs",
+                    len(train_pipe.samples), train_cache.decode_seconds)
+        if val_pipe is not None:
+            val_cache = build_device_cache(val_pipe, mesh, train=False)
+            logger.info("device cache: decoded %d val samples once in %.1fs",
+                        len(val_pipe.samples), val_cache.decode_seconds)
     train_step = build_train_step(
-        cfg, model, tx, center_tx, mesh, donate=cfg.TPU.DONATE_STATE
+        cfg, model, tx, center_tx, mesh, donate=cfg.TPU.DONATE_STATE,
+        device_cache=train_cache,
     )
-    eval_step = build_eval_step(cfg, model, mesh)
+    eval_step = build_eval_step(cfg, model, mesh, device_cache=val_cache)
     rng = jax.random.PRNGKey(cfg.SOLVER.SEED)
 
     use_moe_eval = cfg.MODEL.HDM or cfg.MODEL.ATM or cfg.MODEL.USE_SDTPS
@@ -232,14 +296,30 @@ def do_train(
     train_batches = HostShardedBatches(train_pipe, mesh)
     primary = is_primary()
 
+    from ..parallel.multihost import iter_index_batches
+
+    def _epoch_steps(order, epoch):
+        """Yield per-step (state_updater) inputs for either input path."""
+        if use_cache:
+            for idx_g, _ in iter_index_batches(mesh, order, train_pipe.batch_size):
+                yield (
+                    state_holder[0], train_cache.images, train_cache.pids,
+                    train_cache.camids, train_cache.viewids, idx_g, rng,
+                )
+        else:
+            for gb in train_batches.iter_batches(order, seed=epoch):
+                yield (
+                    state_holder[0], gb.images, gb.pids, gb.camids, gb.viewids, rng,
+                )
+
+    state_holder = [state]
     for epoch in range(start_epoch, epochs + 1):
         t0 = time.time()
         losses, accs, n_iter = [], [], 0
         order = sampler.epoch_indices(epoch)
-        for gb in train_batches.iter_batches(order, seed=epoch):
-            state, metrics = train_step(
-                state, gb.images, gb.pids, gb.camids, gb.viewids, rng
-            )
+        for args in _epoch_steps(order, epoch):
+            state, metrics = train_step(*args)
+            state_holder[0] = state
             losses.append(metrics["loss"])
             accs.append(metrics["acc"])
             n_iter += 1
@@ -272,10 +352,10 @@ def do_train(
             patterns = (1, 2, 3) if use_moe_eval and (cfg.MODEL.HDM or cfg.MODEL.ATM) else (3,)
             for pat in patterns[:-1]:
                 run_eval(cfg, eval_step, state, val_pipe, num_query,
-                         return_pattern=pat, mesh=mesh)
+                         return_pattern=pat, mesh=mesh, device_cache=val_cache)
             cmc, mAP = run_eval(
                 cfg, eval_step, state, val_pipe, num_query,
-                return_pattern=patterns[-1], mesh=mesh,
+                return_pattern=patterns[-1], mesh=mesh, device_cache=val_cache,
             )
             if primary:
                 logger.info("Validation Results - Epoch: %d", epoch)

@@ -29,6 +29,7 @@ from __future__ import annotations
 from typing import List, Optional, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .mesh import batch_sharding
@@ -111,6 +112,31 @@ class GlobalBatch:
     meta_pids: np.ndarray
     meta_camids: np.ndarray
     meta_viewids: np.ndarray
+
+
+def iter_index_batches(mesh, order: np.ndarray, batch_size: int,
+                       drop_last: bool = True, pad_last: bool = False):
+    """Batch-sharded (B,) int32 index batches for the device-cache input path.
+
+    Yields (idx_global_array, valid).  The only bytes each host transfers
+    per step: its addressable devices' rows of the index vector.
+    """
+    order = np.asarray(order, np.int32)
+    bs = batch_size
+    rows = host_batch_rows(mesh, bs) if mesh is not None else np.arange(bs)
+    n_full = len(order) // bs
+    chunks = [(order[i * bs : (i + 1) * bs], bs) for i in range(n_full)]
+    rem = order[n_full * bs :]
+    if len(rem) and not drop_last:
+        valid = len(rem)
+        if pad_last:
+            rem = np.concatenate([rem, np.full(bs - valid, rem[-1], np.int32)])
+        chunks.append((rem, valid))
+    for chunk, valid in chunks:
+        if mesh is None:
+            yield jnp.asarray(chunk), valid
+        else:
+            yield make_global_array(mesh, chunk[rows], bs), valid
 
 
 class HostShardedBatches:

@@ -1,0 +1,220 @@
+"""HBM dataset cache + on-device augmentation (data/device_cache.py).
+
+Certifies: (1) the decode-once cache holds exactly what the host pipeline
+would decode; (2) the in-graph augmentation applies the host TrainTransform
+math bit-closely for given parameters; (3) parameter draws follow the host
+distributions; (4) the cached train/eval steps are numerically equivalent
+to the host-fed steps when augmentation is disabled; (5) `do_train` runs
+end-to-end with TPU.DATA_CACHE='device'.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from demo2_tpu.data import make_dataloader
+from demo2_tpu.data.device_cache import (
+    apply_augment,
+    build_device_cache,
+    draw_aug_params,
+    normalize_batch,
+)
+from demo2_tpu.engine import create_train_state
+from demo2_tpu.engine.eval import build_eval_step, run_eval
+from demo2_tpu.engine.train import build_train_step
+from demo2_tpu.models import make_model
+from demo2_tpu.parallel import make_mesh
+
+
+@pytest.fixture()
+def pipes(tiny_cfg):
+    cfg = tiny_cfg
+    cfg.MODEL.USE_SDTPS = True
+    cfg.MODEL.USE_DGAF = True
+    cfg.SOLVER.OPTIMIZER_NAME = "SGD"
+    cfg.freeze()
+    return cfg, make_dataloader(cfg)
+
+
+def test_cache_matches_host_decode(pipes):
+    cfg, (train_pipe, sampler, val_pipe, nq, nc, cams, views) = pipes
+    cache = build_device_cache(train_pipe, mesh=None, train=True)
+    from PIL import Image
+
+    from demo2_tpu.data.loader import read_image
+
+    h, w = train_pipe.transform.size
+    for i in (0, 3, len(train_pipe.samples) - 1):
+        imgs = read_image(train_pipe.samples[i][0], train_pipe.dataset)
+        want = np.stack(
+            [np.asarray(im.resize((w, h), Image.BICUBIC), np.uint8) for im in imgs]
+        )
+        np.testing.assert_array_equal(np.asarray(cache.images[i]), want)
+        assert int(cache.pids[i]) == train_pipe.samples[i][1]
+        assert int(cache.camids[i]) == train_pipe.samples[i][2]
+
+
+def test_apply_augment_matches_host_math():
+    """Fixed params -> on-device augment == the host transform chain."""
+    rng = np.random.default_rng(0)
+    b, h, w = 4, 32, 16
+    pad = 5
+    u8 = rng.integers(0, 256, (b, 3, h, w, 3), dtype=np.uint8)
+    mean = np.asarray([0.5, 0.4, 0.3], np.float32)
+    std = np.asarray([0.5, 0.6, 0.7], np.float32)
+    params = {
+        "flip": jnp.asarray(rng.integers(0, 2, (b, 3)).astype(bool)),
+        "crop_top": jnp.asarray(rng.integers(0, 2 * pad + 1, (b, 3), dtype=np.int32)),
+        "crop_left": jnp.asarray(rng.integers(0, 2 * pad + 1, (b, 3), dtype=np.int32)),
+        "erase": jnp.zeros((b, 3), bool),
+        "erase_top": jnp.zeros((b, 3), jnp.int32),
+        "erase_left": jnp.zeros((b, 3), jnp.int32),
+        "erase_h": jnp.zeros((b, 3), jnp.int32),
+        "erase_w": jnp.zeros((b, 3), jnp.int32),
+        "noise_key": jax.random.PRNGKey(0),
+    }
+    got = np.asarray(apply_augment(u8, params, mean, std, padding=pad))
+
+    # Host math, straight out of data/transforms.py.
+    for i in range(b):
+        for m in range(3):
+            arr = u8[i, m].astype(np.float32)
+            if bool(params["flip"][i, m]):
+                arr = arr[:, ::-1]
+            arr = arr / 255.0
+            arr = np.pad(arr, ((pad, pad), (pad, pad), (0, 0)))
+            top = int(params["crop_top"][i, m])
+            left = int(params["crop_left"][i, m])
+            arr = arr[top : top + h, left : left + w]
+            arr = (arr - mean) / std
+            np.testing.assert_allclose(got[i, m], arr, rtol=1e-6, atol=1e-6)
+
+
+def test_erase_geometry_and_noise():
+    u8 = np.full((1, 3, 32, 16, 3), 128, np.uint8)
+    params = {
+        "flip": jnp.zeros((1, 3), bool),
+        "crop_top": jnp.zeros((1, 3), jnp.int32),
+        "crop_left": jnp.zeros((1, 3), jnp.int32),
+        "erase": jnp.asarray([[True, False, True]]),
+        "erase_top": jnp.full((1, 3), 4, jnp.int32),
+        "erase_left": jnp.full((1, 3), 2, jnp.int32),
+        "erase_h": jnp.full((1, 3), 8, jnp.int32),
+        "erase_w": jnp.full((1, 3), 5, jnp.int32),
+        "noise_key": jax.random.PRNGKey(7),
+    }
+    out = np.asarray(
+        apply_augment(u8, params, (0.5, 0.5, 0.5), (0.5, 0.5, 0.5), padding=0)
+    )
+    base = (128 / 255.0 - 0.5) / 0.5
+    for m, erased in ((0, True), (1, False), (2, True)):
+        rect = out[0, m, 4:12, 2:7]
+        outside = out[0, m].copy()
+        outside[4:12, 2:7] = base
+        np.testing.assert_allclose(outside, base, atol=1e-6)
+        if erased:
+            # N(0,1) noise: must differ from the flat background and vary.
+            assert np.std(rect) > 0.3
+        else:
+            np.testing.assert_allclose(rect, base, atol=1e-6)
+
+
+def test_draw_params_distributions():
+    h, w, pad = 64, 32, 10
+    params = draw_aug_params(jax.random.PRNGKey(0), 2000, (h, w), padding=pad)
+    flip_rate = float(jnp.mean(params["flip"]))
+    assert 0.45 < flip_rate < 0.55
+    ct = np.asarray(params["crop_top"])
+    assert ct.min() == 0 and ct.max() == 2 * pad
+    er = np.asarray(params["erase"])
+    assert 0.3 < er.mean() < 0.55  # p=0.5 gate x found-rate
+    eh = np.asarray(params["erase_h"])[er]
+    ew = np.asarray(params["erase_w"])[er]
+    top = np.asarray(params["erase_top"])[er]
+    left = np.asarray(params["erase_left"])[er]
+    assert (eh < h).all() and (ew < w).all()
+    assert (top >= 0).all() and (top + eh <= h).all()
+    assert (left >= 0).all() and (left + ew <= w).all()
+    area_frac = (eh * ew).astype(np.float64) / (h * w)
+    assert 0.015 < area_frac.mean() < 0.25  # E[area] ~ (0.02+1/3)/2 pre-rounding
+
+
+def test_cached_steps_match_host_fed_steps(pipes):
+    """Augmentation off -> cached train/eval == host-fed with same pixels."""
+    cfg, (train_pipe, sampler, val_pipe, nq, nc, cams, views) = pipes
+    model = make_model(cfg, nc, cams, views)
+    batch = next(train_pipe.iter_batches(sampler.epoch_indices(0)[:8], seed=0))
+    state, tx, ctx, _ = create_train_state(
+        cfg, model, jax.random.PRNGKey(0), batch, steps_per_epoch=4
+    )
+    mesh = make_mesh(8)
+    cache = build_device_cache(train_pipe, mesh, train=True)
+    cache = dataclasses.replace(cache, flip_prob=0.0, re_prob=0.0, padding=0)
+    idx = jnp.arange(8, dtype=jnp.int32)
+
+    step_c = build_train_step(cfg, model, tx, ctx, mesh, donate=False,
+                              device_cache=cache)
+    new_c, met_c = step_c(
+        state, cache.images, cache.pids, cache.camids, cache.viewids, idx,
+        jax.random.PRNGKey(1),
+    )
+
+    images = np.asarray(
+        normalize_batch(jnp.asarray(np.asarray(cache.images[:8])),
+                        cache.mean, cache.std)
+    )
+    step_h = build_train_step(cfg, model, tx, ctx, mesh, donate=False)
+    new_h, met_h = step_h(
+        state, images,
+        jnp.asarray(np.asarray(cache.pids[:8])),
+        jnp.asarray(np.asarray(cache.camids[:8])),
+        jnp.asarray(np.asarray(cache.viewids[:8])),
+        jax.random.PRNGKey(1),
+    )
+    np.testing.assert_allclose(float(met_c["loss"]), float(met_h["loss"]),
+                               rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        ),
+        new_c.params, new_h.params,
+    )
+
+    # Eval: cached path == host path feature-for-feature (same resize+math).
+    vcache = build_device_cache(val_pipe, mesh, train=False)
+    ev_c = build_eval_step(cfg, model, mesh, device_cache=vcache)
+    cmc_c, map_c = run_eval(cfg, ev_c, state, val_pipe, nq, return_pattern=3,
+                            mesh=mesh, device_cache=vcache)
+    ev_h = build_eval_step(cfg, model, mesh)
+    cmc_h, map_h = run_eval(cfg, ev_h, state, val_pipe, nq, return_pattern=3,
+                            mesh=mesh)
+    np.testing.assert_allclose(map_c, map_h, atol=1e-6)
+    np.testing.assert_allclose(cmc_c, cmc_h, atol=1e-6)
+
+
+def test_do_train_device_cache_e2e(tiny_cfg):
+    cfg = tiny_cfg
+    cfg.MODEL.USE_SDTPS = True
+    cfg.MODEL.USE_DGAF = True
+    cfg.SOLVER.OPTIMIZER_NAME = "Adam"
+    cfg.SOLVER.MAX_EPOCHS = 2
+    cfg.SOLVER.EVAL_PERIOD = 2
+    cfg.TPU.DATA_CACHE = "device"
+    cfg.freeze()
+    from demo2_tpu.engine.train import do_train
+
+    train_pipe, sampler, val_pipe, nq, nc, cams, views = make_dataloader(cfg)
+    model = make_model(cfg, nc, cams, views)
+    batch = next(train_pipe.iter_batches(sampler.epoch_indices(0), seed=0))
+    state, tx, ctx, sched = create_train_state(
+        cfg, model, jax.random.PRNGKey(0), batch, steps_per_epoch=4
+    )
+    state, best = do_train(
+        cfg, model, state, tx, ctx, train_pipe, sampler, val_pipe, nq,
+        schedule=sched, mesh=make_mesh(8),
+    )
+    assert int(state.step) > 0
+    assert best["mAP"] > 0.5  # easy synthetic separates quickly

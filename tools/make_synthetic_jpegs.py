@@ -1,0 +1,90 @@
+"""Write an RGBNT201-layout synthetic JPEG dataset to disk.
+
+Produces root/RGBNT201/{train_171,test}/{RGB,NI,TI}/<pid>_cam<k>_<j>.jpg at
+RGBNT201 scale (defaults: 171 train ids x 23 imgs = 3,933 tri-modal samples,
+like the real train_171; reference parser: RGBNT201.py) so the END-TO-END
+training path — JPEG decode, resize, augment, host->device — can be
+measured for real (VERDICT r2 #1: the throughput headline must include data
+loading).
+
+Images are rendered with the SyntheticTriModal 'hard' recipe (identity =
+small palette offset + heavy noise, so eval metrics stay meaningful) at a
+source size LARGER than the train size so the resize step does real work,
+exactly like the reference datasets' variable-size crops.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import os.path as osp
+
+import numpy as np
+
+
+def generate(root: str, num_pids: int = 171, imgs_per_pid: int = 23,
+             test_pids: int = 30, test_imgs_per_pid: int = 14,
+             num_cams: int = 6, src_size=(288, 144), seed: int = 0,
+             quality: int = 95) -> str:
+    """Returns the dataset root (idempotent: skips if marker file exists)."""
+    from PIL import Image
+
+    from demo2_tpu.data.datasets import SyntheticTriModal
+
+    base = osp.join(root, "RGBNT201")
+    marker = osp.join(
+        base, f".complete_{num_pids}x{imgs_per_pid}_{test_pids}x{test_imgs_per_pid}"
+    )
+    if osp.exists(marker):
+        return root
+
+    h, w = src_size
+    renderer = SyntheticTriModal(
+        num_pids=max(num_pids, test_pids), num_cams=num_cams,
+        imgs_per_pid=1, image_size=(h, w), seed=seed, hard=True,
+    )
+    mods = ("RGB", "NI", "TI")
+
+    def write_split(split_dir: str, pids, per_pid: int, tag: str):
+        for m in mods:
+            os.makedirs(osp.join(split_dir, m), exist_ok=True)
+        for pid in pids:
+            for j in range(per_pid):
+                imgs = renderer.render((tag, pid, j))
+                camid = (pid + j) % num_cams + 1
+                name = f"{pid:06d}_cam{camid}_{j:03d}.jpg"
+                for m, img in zip(mods, imgs):
+                    Image.fromarray(img).save(
+                        osp.join(split_dir, m, name), quality=quality
+                    )
+
+    write_split(osp.join(base, "train_171"), range(num_pids), imgs_per_pid, "train")
+    # Test ids disjoint from train ids in LABEL only (parser relabels train).
+    write_split(osp.join(base, "test"), range(test_pids), test_imgs_per_pid, "test")
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return root
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/d2t_synth")
+    ap.add_argument("--pids", type=int, default=171)
+    ap.add_argument("--imgs_per_pid", type=int, default=23)
+    ap.add_argument("--test_pids", type=int, default=30)
+    ap.add_argument("--test_imgs_per_pid", type=int, default=14)
+    ap.add_argument("--src_h", type=int, default=288)
+    ap.add_argument("--src_w", type=int, default=144)
+    args = ap.parse_args()
+    import time
+
+    t0 = time.time()
+    generate(args.root, args.pids, args.imgs_per_pid, args.test_pids,
+             args.test_imgs_per_pid, src_size=(args.src_h, args.src_w))
+    n = args.pids * args.imgs_per_pid + args.test_pids * args.test_imgs_per_pid
+    print(f"wrote {n} tri-modal samples ({3*n} jpegs) under {args.root} "
+          f"in {time.time()-t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main()

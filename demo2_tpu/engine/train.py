@@ -313,28 +313,94 @@ def do_train(
                 )
 
     state_holder = [state]
+
+    # Chunked dispatch for the device-cache path: LOG_PERIOD optimizer steps
+    # per dispatch via the `scan_steps` train step — ONE (K, B) int32 index
+    # transfer and ONE dispatch per K steps, with the metric readback
+    # deferred one chunk so logging never stalls the pipeline.  On the
+    # remote-execution tunnel, per-step index device_puts + the blocking
+    # every-LOG_PERIOD loss readback cost ~35 ms/step (450 vs 599 img/s,
+    # docs/PERF.md round 3).  Multi-process keeps per-step dispatch (no
+    # tunnel there; index feeding is local).
+    chunk = log_period if (use_cache and jax.process_count() == 1) else 0
+    train_step_k = (
+        build_train_step(
+            cfg, model, tx, center_tx, mesh, donate=cfg.TPU.DONATE_STATE,
+            scan_steps=chunk, device_cache=train_cache,
+        )
+        if chunk > 1 else None
+    )
+
+    def _run_epoch_chunked(state, order, epoch):
+        bs = train_pipe.batch_size
+        steps = len(order) // bs
+        idx_all = np.asarray(order[: steps * bs], np.int32).reshape(steps, bs)
+        cargs = (train_cache.images, train_cache.pids, train_cache.camids,
+                 train_cache.viewids)
+        step0 = int(state.step)  # one readback per epoch
+        losses, accs = [], []
+        pending = None  # (iter_no, global_step, metrics) not yet read back
+
+        def flush(p):
+            if p is None or not primary:
+                return
+            it, gstep, m = p
+            lr = float(schedule(gstep)) if schedule else 0.0
+            logger.info(
+                "Epoch[%d] Iteration[%d] Loss: %.3f, Acc: %.3f, Base Lr: %.2e",
+                epoch, it, float(m["loss"]), float(m["acc"]), lr,
+            )
+            if writer is not None:
+                writer.add_scalar("Train/Loss", float(m["loss"]), gstep)
+                writer.add_scalar("Train/Acc", float(m["acc"]), gstep)
+                writer.add_scalar("Train/LR", lr, gstep)
+
+        n_done = 0
+        while n_done < steps:
+            k = min(chunk, steps - n_done)
+            if k == chunk:
+                idx_k = jnp.asarray(idx_all[n_done : n_done + k])
+                state, metrics = train_step_k(state, *cargs, idx_k, rng)
+            else:  # tail < chunk: per-step fn (one reusable extra compile)
+                for j in range(k):
+                    state, metrics = train_step(
+                        state, *cargs, jnp.asarray(idx_all[n_done + j]), rng
+                    )
+            n_done += k
+            prev, pending = pending, (n_done, step0 + n_done, metrics)
+            flush(prev)  # read back the PREVIOUS chunk while this one runs
+            losses.append(metrics["loss"])
+            accs.append(metrics["acc"])
+        flush(pending)
+        return state, losses, accs, steps
+
     for epoch in range(start_epoch, epochs + 1):
         t0 = time.time()
         losses, accs, n_iter = [], [], 0
         order = sampler.epoch_indices(epoch)
-        for args in _epoch_steps(order, epoch):
-            state, metrics = train_step(*args)
+        if chunk > 1:
+            state, losses, accs, n_iter = _run_epoch_chunked(state, order, epoch)
             state_holder[0] = state
-            losses.append(metrics["loss"])
-            accs.append(metrics["acc"])
-            n_iter += 1
-            if n_iter % log_period == 0 and primary:
-                lr = float(schedule(int(state.step))) if schedule else 0.0
-                logger.info(
-                    "Epoch[%d] Iteration[%d] Loss: %.3f, Acc: %.3f, Base Lr: %.2e",
-                    epoch, n_iter, float(jnp.mean(jnp.stack(losses[-log_period:]))),
-                    float(jnp.mean(jnp.stack(accs[-log_period:]))), lr,
-                )
-                if writer is not None:
-                    step = int(state.step)
-                    writer.add_scalar("Train/Loss", float(metrics["loss"]), step)
-                    writer.add_scalar("Train/Acc", float(metrics["acc"]), step)
-                    writer.add_scalar("Train/LR", lr, step)
+        else:
+            for args in _epoch_steps(order, epoch):
+                state, metrics = train_step(*args)
+                state_holder[0] = state
+                losses.append(metrics["loss"])
+                accs.append(metrics["acc"])
+                n_iter += 1
+                if n_iter % log_period == 0 and primary:
+                    lr = float(schedule(int(state.step))) if schedule else 0.0
+                    logger.info(
+                        "Epoch[%d] Iteration[%d] Loss: %.3f, Acc: %.3f, Base Lr: %.2e",
+                        epoch, n_iter,
+                        float(jnp.mean(jnp.stack(losses[-log_period:]))),
+                        float(jnp.mean(jnp.stack(accs[-log_period:]))), lr,
+                    )
+                    if writer is not None:
+                        step = int(state.step)
+                        writer.add_scalar("Train/Loss", float(metrics["loss"]), step)
+                        writer.add_scalar("Train/Acc", float(metrics["acc"]), step)
+                        writer.add_scalar("Train/LR", lr, step)
         if n_iter:
             jax.block_until_ready(state.params)
             dt = (time.time() - t0) / n_iter

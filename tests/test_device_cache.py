@@ -195,6 +195,41 @@ def test_cached_steps_match_host_fed_steps(pipes):
     np.testing.assert_allclose(cmc_c, cmc_h, atol=1e-6)
 
 
+def test_chunked_dispatch_matches_per_step(pipes):
+    """K-step scan chunks over the cache == K per-step dispatches (SGD)."""
+    cfg, (train_pipe, sampler, val_pipe, nq, nc, cams, views) = pipes
+    model = make_model(cfg, nc, cams, views)
+    batch = next(train_pipe.iter_batches(sampler.epoch_indices(0)[:8], seed=0))
+    state, tx, ctx, _ = create_train_state(
+        cfg, model, jax.random.PRNGKey(0), batch, steps_per_epoch=4
+    )
+    mesh = make_mesh(8)
+    cache = build_device_cache(train_pipe, mesh, train=True)
+    K = 3
+    rng = jax.random.PRNGKey(1)
+    order = np.asarray(sampler.epoch_indices(1)[: K * 8], np.int32)
+    cargs = (cache.images, cache.pids, cache.camids, cache.viewids)
+
+    step1 = build_train_step(cfg, model, tx, ctx, mesh, donate=False,
+                             device_cache=cache)
+    s_loop = state
+    for j in range(K):
+        s_loop, _ = step1(s_loop, *cargs, jnp.asarray(order[j * 8 : (j + 1) * 8]),
+                          rng)
+
+    stepk = build_train_step(cfg, model, tx, ctx, mesh, donate=False,
+                             scan_steps=K, device_cache=cache)
+    s_scan, _ = stepk(state, *cargs, jnp.asarray(order.reshape(K, 8)), rng)
+
+    assert int(s_scan.step) == int(s_loop.step) == K
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5
+        ),
+        s_loop.params, s_scan.params,
+    )
+
+
 def test_do_train_device_cache_e2e(tiny_cfg):
     cfg = tiny_cfg
     cfg.MODEL.USE_SDTPS = True
@@ -202,6 +237,7 @@ def test_do_train_device_cache_e2e(tiny_cfg):
     cfg.SOLVER.OPTIMIZER_NAME = "Adam"
     cfg.SOLVER.MAX_EPOCHS = 2
     cfg.SOLVER.EVAL_PERIOD = 2
+    cfg.SOLVER.LOG_PERIOD = 2  # exercise the chunked scan dispatch + tail
     cfg.TPU.DATA_CACHE = "device"
     cfg.freeze()
     from demo2_tpu.engine.train import do_train

@@ -97,9 +97,17 @@ def make_lr_schedule(cfg: Config, steps_per_epoch: int) -> Callable[[Any], Any]:
     )
     # Precompute a dense epoch->lr table so the schedule works on traced steps.
     max_epochs = cfg.SOLVER.MAX_EPOCHS + 2
-    table = jnp.asarray([lr_at(e) for e in range(max_epochs)], jnp.float32)
+    host_table = [float(jnp.float32(lr_at(e))) for e in range(max_epochs)]
+    table = jnp.asarray(host_table, jnp.float32)
 
     def schedule(step):
+        if not isinstance(step, jax.core.Tracer):
+            # Host fast path: logging calls pass a concrete Python int; a jnp
+            # lookup here would be a device dispatch (a full round trip on the
+            # remote-execution tunnel, ~140 ms — measured in do_train, see
+            # docs/PERF.md round 3).  Values match `table` exactly (both fp32).
+            e = min(1 + int(step) // steps_per_epoch, max_epochs - 1)
+            return host_table[e]
         epoch = jnp.minimum(1 + step // steps_per_epoch, max_epochs - 1)
         return table[epoch]
 

@@ -182,12 +182,15 @@ def _decode_all(pipe, train: bool) -> np.ndarray:
     n = len(pipe.samples)
     out = np.empty((n, 3, h, w, 3), np.uint8)
 
-    if pipe.use_native and train:
-        # Native decode+bicubic resize, no augment (identity params),
-        # mean=0/std=1 -> [0,1] floats -> uint8 (same quantization as the
-        # host path, which also stores uint8 post-resize).
-        from .native import eval_params, load_batch_native
+    if pipe.use_native:
+        # Native decode+resize, no augment (identity params), mean=0/std=1
+        # -> [0,1] floats -> uint8 (same quantization as the host path,
+        # which also stores uint8 post-resize).  Filter matches the host
+        # transform per mode: bicubic for train (TrainTransform), bilinear
+        # for eval (torchvision Resize default, make_dataloader.py:198-202).
+        from .native import INTERP_BILINEAR, INTERP_CUBIC, eval_params, load_batch_native
 
+        interp = INTERP_CUBIC if train else INTERP_BILINEAR
         chunk = 256
         strips = [(0, 0, 256, 128), (256, 0, 512, 128), (512, 0, 768, 128)]
         for start in range(0, n, chunk):
@@ -198,11 +201,11 @@ def _decode_all(pipe, train: bool) -> np.ndarray:
                 if isinstance(ref, str):  # wide-strip layout
                     for st in strips:
                         paths.append(ref)
-                        params.append(eval_params(st))
+                        params.append(eval_params(st, interp))
                 else:
                     for p in ref:
                         paths.append(p)
-                        params.append(eval_params(None))
+                        params.append(eval_params(None, interp))
             flat = load_batch_native(
                 paths, params, h, w, (0.0, 0.0, 0.0), (1.0, 1.0, 1.0),
                 num_threads=pipe.num_workers,

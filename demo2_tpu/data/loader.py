@@ -71,16 +71,14 @@ class TriModalDataPipe:
         self.batch_size = batch_size
         self.num_workers = max(1, num_workers)
         self.pool = cf.ThreadPoolExecutor(max_workers=self.num_workers)
-        # Native C++ decode/transform path: training-only (its resize is
-        # cubic; the eval path keeps torchvision-parity bilinear via PIL) and
-        # only for on-disk JPEGs.
-        from .transforms import TrainTransform
-
+        # Native C++ decode/transform path for on-disk JPEGs: train pipes get
+        # the full augmentation pipeline (bicubic resize), eval pipes the
+        # identity transform with torchvision-parity bilinear resize.
         if use_native is None:
             from .native import native_available
 
             use_native = (
-                isinstance(transform, TrainTransform)
+                isinstance(transform, (TrainTransform, EvalTransform))
                 and self._all_jpeg_paths()
                 and native_available()
             )
@@ -101,8 +99,9 @@ class TriModalDataPipe:
 
     def _native_batch_images(self, indices, seed, positions=None) -> np.ndarray:
         """Native path: (B, 3, H, W, 3) float32 via libd2tloader."""
-        from .native import load_batch_native, sample_train_params
+        from .native import eval_params, load_batch_native, sample_train_params
 
+        train = isinstance(self.transform, TrainTransform)
         h, w = self.transform.size
         if positions is None:
             positions = range(len(indices))
@@ -112,23 +111,20 @@ class TriModalDataPipe:
             ref = self.samples[idx][0]
             if isinstance(ref, str):  # wide-strip layout (RGBNT100)
                 strips = [(0, 0, 256, 128), (256, 0, 512, 128), (512, 0, 768, 128)]
-                for st in strips:
-                    paths.append(ref)
+                items = [(ref, st) for st in strips]
+            else:
+                items = [(p, None) for p in ref]
+            for path, st in items:
+                paths.append(path)
+                if train:
                     params.append(
                         sample_train_params(
                             rng, (h, w), self.transform.flip_prob,
                             self.transform.padding, self.transform.re_prob, st,
                         )
                     )
-            else:
-                for p in ref:
-                    paths.append(p)
-                    params.append(
-                        sample_train_params(
-                            rng, (h, w), self.transform.flip_prob,
-                            self.transform.padding, self.transform.re_prob, None,
-                        )
-                    )
+                else:
+                    params.append(eval_params(st))
         flat = load_batch_native(
             paths, params, h, w, self.transform.mean, self.transform.std,
             num_threads=self.num_workers,

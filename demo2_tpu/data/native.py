@@ -41,7 +41,12 @@ class TransformParams(ctypes.Structure):
         ("crop_y0", ctypes.c_int32),
         ("crop_x1", ctypes.c_int32),
         ("crop_y1", ctypes.c_int32),
+        ("interp", ctypes.c_int32),  # 0 = cubic (train), 1 = bilinear (eval)
     ]
+
+
+INTERP_CUBIC = 0
+INTERP_BILINEAR = 1
 
 
 _lib = None
@@ -135,7 +140,14 @@ def sample_train_params(
     return p
 
 
-def eval_params(strip: Optional[Sequence[int]] = None) -> TransformParams:
+def eval_params(
+    strip: Optional[Sequence[int]] = None, interp: int = INTERP_BILINEAR
+) -> TransformParams:
+    """Identity-augmentation params.  Default interp is bilinear — the
+    reference's eval transform is torchvision Resize's default (PIL
+    BILINEAR, make_dataloader.py:198-202); pass INTERP_CUBIC to reuse the
+    identity transform for train-cache decodes (bicubic, same as
+    TrainTransform's resize)."""
     p = TransformParams()
     p.flip = 0
     p.pad = 0
@@ -144,6 +156,7 @@ def eval_params(strip: Optional[Sequence[int]] = None) -> TransformParams:
     p.erase = 0
     if strip is not None:
         p.crop_x0, p.crop_y0, p.crop_x1, p.crop_y1 = strip
+    p.interp = interp
     return p
 
 

@@ -74,10 +74,19 @@ bool decode_jpeg_file(const char* path, Image* out) {
 }
 
 // ---------------------------------------------------------------------------
-// Resize: separable cubic (a = -0.5) with box prefilter when downscaling.
-// (Close to PIL's antialiased bicubic; exact filter parity is not required
-// for augmentation-time resizing.)
+// Resize: separable convolution with a per-axis scaled kernel (the kernel is
+// widened by the scale factor when minifying — the antialiasing PIL applies).
+// Two filters:
+//   INTERP_CUBIC    — cubic a = -0.5, support 2 (train-time augmentation;
+//                     close to PIL's antialiased bicubic).
+//   INTERP_BILINEAR — triangle, support 1: torchvision's Resize default
+//                     (PIL BILINEAR with antialias), used by the reference's
+//                     EVAL transform (make_dataloader.py:198-202).  PIL runs
+//                     the same separable triangle convolution in uint8
+//                     fixed point, so outputs match within ~2/255/pass.
 // ---------------------------------------------------------------------------
+
+enum Interp { INTERP_CUBIC = 0, INTERP_BILINEAR = 1 };
 
 inline float cubic(float x) {
   constexpr float a = -0.5f;
@@ -85,6 +94,11 @@ inline float cubic(float x) {
   if (x < 1.0f) return ((a + 2.0f) * x - (a + 3.0f)) * x * x + 1.0f;
   if (x < 2.0f) return (((x - 5.0f) * x + 8.0f) * x - 4.0f) * a;
   return 0.0f;
+}
+
+inline float triangle(float x) {
+  x = std::fabs(x);
+  return x < 1.0f ? 1.0f - x : 0.0f;
 }
 
 // Resize one channel-interleaved RGB image to (oh, ow) with per-axis scaled
@@ -96,10 +110,12 @@ struct KernelTable {
   int ksize = 0;
 };
 
-KernelTable make_table(int n_in, int n_out) {
+KernelTable make_table(int n_in, int n_out, int interp) {
+  const float support = interp == INTERP_BILINEAR ? 1.0f : 2.0f;
+  float (*filter)(float) = interp == INTERP_BILINEAR ? triangle : cubic;
   const float s = float(n_in) / n_out;
   const float f = std::max(s, 1.0f);
-  const int r = int(std::ceil(2.0f * f));
+  const int r = int(std::ceil(support * f));
   KernelTable t;
   t.ksize = 2 * r + 1;
   t.start.resize(n_out);
@@ -113,7 +129,7 @@ KernelTable make_table(int n_in, int n_out) {
     for (int k = 0; k < t.ksize; ++k) {
       const int x = x0 + k;
       if (x < 0 || x >= n_in) continue;
-      const float wv = cubic((x - center) / f);
+      const float wv = filter((x - center) / f);
       w[k] = wv;
       norm += wv;
     }
@@ -125,10 +141,11 @@ KernelTable make_table(int n_in, int n_out) {
 
 // Cache-friendly separable resize: both passes iterate rows in the outer
 // loop; inner loops are contiguous and auto-vectorizable.
-void resize_cubic(const Image& src, int oh, int ow, std::vector<float>* out) {
+void resize_sep(const Image& src, int oh, int ow, int interp,
+                std::vector<float>* out) {
   const int ih = src.h, iw = src.w;
-  const KernelTable tx = make_table(iw, ow);
-  const KernelTable ty = make_table(ih, oh);
+  const KernelTable tx = make_table(iw, ow, interp);
+  const KernelTable ty = make_table(ih, oh, interp);
 
   // Horizontal pass: (ih, iw, 3) u8 -> (ih, ow, 3) f32, row-major walk.
   std::vector<float> tmp(size_t(ih) * ow * 3);
@@ -184,6 +201,7 @@ struct TransformParams {
   int32_t erase_top, erase_left, erase_h, erase_w;
   uint64_t noise_seed;   // erase noise stream
   int32_t crop_x0, crop_y0, crop_x1, crop_y1;  // pre-crop in source (wide strips); x1==0 -> none
+  int32_t interp;        // Interp enum; 0 = cubic (train), 1 = bilinear (eval)
 };
 
 // Full pipeline for one image region -> normalized float32 HWC output.
@@ -207,7 +225,7 @@ bool process_one(const char* path, const TransformParams& p, int out_h,
   }
 
   std::vector<float> resized;
-  resize_cubic(region, out_h, out_w, &resized);
+  resize_sep(region, out_h, out_w, p.interp, &resized);
 
   if (p.flip) {
     for (int y = 0; y < out_h; ++y) {
@@ -306,6 +324,6 @@ int d2t_decode_jpeg(const char* path, uint8_t* out, int max_bytes, int* h,
   return 0;
 }
 
-int d2t_version() { return 1; }
+int d2t_version() { return 2; }  // 2: TransformParams.interp (bilinear eval)
 
 }  // extern "C"

@@ -8,6 +8,7 @@ import pytest
 from PIL import Image
 
 from demo2_tpu.data.native import (
+    INTERP_CUBIC,
     TransformParams,
     build_native,
     eval_params,
@@ -62,16 +63,38 @@ def test_decode_matches_pil(jpegs):
     assert np.mean(np.abs(ours.astype(int) - ref.astype(int))) < 2.0
 
 
-def test_eval_resize_close_to_pil_bicubic(jpegs):
+def test_cubic_resize_close_to_pil_bicubic(jpegs):
     paths, _ = jpegs
     out = load_batch_native(
-        paths[:1], [eval_params()], 64, 32, (0.5,) * 3, (0.5,) * 3, num_threads=1
+        paths[:1], [eval_params(interp=INTERP_CUBIC)], 64, 32,
+        (0.5,) * 3, (0.5,) * 3, num_threads=1,
     )
     ref = Image.open(paths[0]).convert("RGB").resize((32, 64), Image.BICUBIC)
     ref = (np.asarray(ref, np.float32) / 255.0 - 0.5) / 0.5
     # Filters differ slightly (antialiased cubic vs PIL bicubic); images must
     # agree closely in the aggregate.
     assert np.mean(np.abs(out[0] - ref)) < 0.06
+
+
+@pytest.mark.parametrize("size", [(64, 32), (256, 128)])
+def test_eval_resize_matches_pil_bilinear(jpegs, size):
+    """eval_params() default = torchvision Resize's bilinear (the reference's
+    eval transform, make_dataloader.py:198-202): parity with PIL within
+    fixed-point rounding, both down- and up-scaling the 100x60 sources."""
+    oh, ow = size
+    paths, _ = jpegs
+    out = load_batch_native(
+        paths[:4], [eval_params() for _ in range(4)], oh, ow,
+        (0.5,) * 3, (0.5,) * 3, num_threads=2,
+    )
+    for i in range(4):
+        ref = Image.open(paths[i]).convert("RGB").resize((ow, oh), Image.BILINEAR)
+        ref = (np.asarray(ref, np.float32) / 255.0 - 0.5) / 0.5
+        # PIL runs the same separable triangle convolution in uint8 fixed
+        # point; allow a few levels of rounding per pass (std = 0.5 -> one
+        # u8 level = 2/255 in normalized units).
+        assert np.max(np.abs(out[i] - ref)) < 6.0 * 2.0 / 255.0
+        assert np.mean(np.abs(out[i] - ref)) < 1.0 * 2.0 / 255.0
 
 
 def test_wide_strip_crop(jpegs):

@@ -255,6 +255,10 @@ class TPUConfig:
     # a third of the optimizer's HBM traffic at a small numerics cost.  OFF
     # by default: the reference trains with full-fp32 Adam state.
     BF16_MOMENTS: bool = False
+    # Also store Adam's SECOND moment in bf16 (requires BF16_MOMENTS).
+    # Riskier than the first moment: (1-b2)*g^2 increments sit near bf16's
+    # mantissa resolution (see solver/optim.py::scale_by_adam_mixed).
+    BF16_SECOND_MOMENT: bool = False
     # Input pipeline: 'host' re-decodes per epoch (reference DataLoader
     # semantics); 'device' decodes once into an HBM-resident uint8 cache and
     # runs the random augmentations in-graph (data/device_cache.py) — the

@@ -114,6 +114,73 @@ def make_lr_schedule(cfg: Config, steps_per_epoch: int) -> Callable[[Any], Any]:
     return schedule
 
 
+def scale_by_adam_mixed(
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    mu_dtype=None,
+    nu_dtype=None,
+) -> optax.GradientTransformation:
+    """scale_by_adam with independently chosen moment STORAGE dtypes.
+
+    optax only exposes ``mu_dtype``; this adds ``nu_dtype`` so the second
+    moment can live in bf16 too (the last measured optimizer-HBM headroom,
+    docs/NEXT.md).  All arithmetic runs in fp32 — moments are cast up on
+    read and down on write, so only storage precision changes.  Update rule
+    is Adam with bias correction, identical to optax.scale_by_adam
+    (reference optimizer: solver/make_optimizer.py:4-28, torch.optim.Adam).
+
+    bf16 nu risk (why this is a flag, not the default): with b2=0.999 the
+    per-step increment (1-b2)*g^2 is ~2^-10 of nu, right at bf16's 8-bit
+    mantissa resolution, so nu can freeze for stationary gradients.  Gated
+    by the same trajectory-closeness test as the first moment
+    (tests/test_solver.py).
+    """
+
+    def init_fn(params):
+        mu = jax.tree_util.tree_map(
+            lambda p: jnp.zeros_like(p, dtype=mu_dtype or p.dtype), params
+        )
+        nu = jax.tree_util.tree_map(
+            lambda p: jnp.zeros_like(p, dtype=nu_dtype or p.dtype), params
+        )
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32), mu=mu, nu=nu
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = optax.safe_int32_increment(state.count)
+        mu = jax.tree_util.tree_map(
+            lambda g, m: (
+                b1 * m.astype(jnp.float32) + (1.0 - b1) * g.astype(jnp.float32)
+            ).astype(m.dtype),
+            updates,
+            state.mu,
+        )
+        nu = jax.tree_util.tree_map(
+            lambda g, v: (
+                b2 * v.astype(jnp.float32)
+                + (1.0 - b2) * jnp.square(g.astype(jnp.float32))
+            ).astype(v.dtype),
+            updates,
+            state.nu,
+        )
+        c1 = 1.0 - b1 ** count.astype(jnp.float32)
+        c2 = 1.0 - b2 ** count.astype(jnp.float32)
+        new_updates = jax.tree_util.tree_map(
+            lambda m, v: (
+                (m.astype(jnp.float32) / c1)
+                / (jnp.sqrt(v.astype(jnp.float32) / c2) + eps)
+            ).astype(m.dtype if mu_dtype is None else jnp.float32),
+            mu,
+            nu,
+        )
+        return new_updates, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def _key_str(k) -> str:
     return str(getattr(k, "key", getattr(k, "name", k))).lower()
 
@@ -145,13 +212,21 @@ def make_optimizer(cfg: Config, params, steps_per_epoch: int):
         )
         return optax.masked(optax.scale(2.0), cls_mask)
 
-    # TPU knob: bf16 first moment (second moment stays fp32) — the standard
-    # mixed-precision Adam variant; OFF by default for exact reference parity.
+    # TPU knobs: bf16 moment STORAGE (arithmetic stays fp32) — OFF by
+    # default for exact reference parity (full-fp32 Adam state).
     mu_dtype = jnp.bfloat16 if cfg.TPU.BF16_MOMENTS else None
+    nu_dtype = jnp.bfloat16 if cfg.TPU.BF16_SECOND_MOMENT else None
+    if nu_dtype is not None and mu_dtype is None:
+        raise ValueError("TPU.BF16_SECOND_MOMENT requires TPU.BF16_MOMENTS")
+
+    def adam_core():
+        if nu_dtype is not None:
+            return scale_by_adam_mixed(mu_dtype=mu_dtype, nu_dtype=nu_dtype)
+        return optax.scale_by_adam(mu_dtype=mu_dtype)
 
     if name == "AdamW":
         tx = optax.chain(
-            optax.scale_by_adam(mu_dtype=mu_dtype),
+            adam_core(),
             optax.add_decayed_weights(wd),  # decoupled
             classifier_scale(),
             optax.scale_by_schedule(lambda s: -schedule(s)),
@@ -160,7 +235,7 @@ def make_optimizer(cfg: Config, params, steps_per_epoch: int):
         tx = optax.chain(
             optax.masked(optax.add_decayed_weights(wd), nonbias_mask),
             optax.masked(optax.add_decayed_weights(wd_bias), bias_mask),
-            optax.scale_by_adam(mu_dtype=mu_dtype),
+            adam_core(),
             classifier_scale(),
             optax.scale_by_schedule(lambda s: -schedule(s)),
         )

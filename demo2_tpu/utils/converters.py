@@ -45,19 +45,48 @@ def load_torch_state_dict(path: str) -> Dict[str, Any]:
     return {k: v.float().numpy() for k, v in sd.items() if hasattr(v, "numpy")}
 
 
-def resize_pos_embed_grid(pos: np.ndarray, new_h: int, new_w: int, method: str):
-    """Resize the grid part of a (1+N, C) positional embedding."""
-    import jax
+def _interp_axis_torch_bilinear(arr: np.ndarray, new_n: int, axis: int) -> np.ndarray:
+    """Exact numpy mirror of F.interpolate(mode='bilinear',
+    align_corners=False) along one axis: source index (o+0.5)*n/new_n - 0.5
+    clamped at 0, two-tap linear blend, NO antialiasing when minifying —
+    torch's default, and therefore the reference's."""
+    n = arr.shape[axis]
+    if new_n == n:
+        return arr
+    src = np.maximum((np.arange(new_n) + 0.5) * (n / new_n) - 0.5, 0.0)
+    x0 = np.minimum(np.floor(src).astype(np.int64), n - 1)
+    frac = (src - x0).astype(arr.dtype)
+    x1 = np.minimum(x0 + 1, n - 1)
+    a = np.take(arr, x0, axis=axis)
+    b = np.take(arr, x1, axis=axis)
+    shape = [1] * arr.ndim
+    shape[axis] = new_n
+    f = frac.reshape(shape)
+    return a * (1 - f) + b * f
 
+
+def resize_pos_embed_grid(pos: np.ndarray, new_h: int, new_w: int, method: str):
+    """Resize the grid part of a (1+N, C) positional embedding.
+
+    Both reference loaders interpolate with torch's un-antialiased bilinear
+    (clip/model.py:708-724 and backbones/vit_pytorch.py:468-483, both
+    ``F.interpolate(mode='bilinear')``), so that is what every ``method``
+    maps to here — bit-parity with the reference matters more than filter
+    aesthetics.  The ``method`` argument is kept for call-site documentation.
+    """
+    del method
+    pos = np.asarray(pos)
     tok, grid = pos[:1], pos[1:]
     if grid.shape[0] == new_h * new_w:  # already on the target grid
         return jnp.asarray(pos)
     gs_old = int(round(float(np.sqrt(grid.shape[0]))))
     grid = grid.reshape(gs_old, gs_old, -1)
-    resized = jax.image.resize(
-        jnp.asarray(grid), (new_h, new_w, grid.shape[-1]), method=method
+    resized = _interp_axis_torch_bilinear(
+        _interp_axis_torch_bilinear(grid, new_h, 0), new_w, 1
     )
-    return jnp.concatenate([jnp.asarray(tok), resized.reshape(new_h * new_w, -1)], 0)
+    return jnp.concatenate(
+        [jnp.asarray(tok), jnp.asarray(resized.reshape(new_h * new_w, -1))], 0
+    )
 
 
 def convert_clip_visual(sd: Dict[str, np.ndarray], new_h: int, new_w: int) -> Dict:

@@ -107,3 +107,86 @@ def test_bf16_moments_trajectory_close():
         jax.tree_util.tree_leaves(p32), jax.tree_util.tree_leaves(pbf)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+
+
+def test_bf16_second_moment_trajectory_close():
+    """TPU.BF16_SECOND_MOMENT stores Adam's nu in bf16 as well
+    (solver/optim.py::scale_by_adam_mixed); trajectories must stay close to
+    the full-fp32 state, mu AND nu buffers must actually be bf16, and the
+    flag must refuse to run without BF16_MOMENTS."""
+    import jax
+    import pytest
+    from demo2_tpu.solver.optim import make_optimizer
+
+    def run(mode):
+        cfg = get_cfg_defaults()
+        cfg.SOLVER.OPTIMIZER_NAME = "Adam"
+        cfg.SOLVER.BASE_LR = 1e-3
+        cfg.SOLVER.WARMUP_ITERS = 0
+        cfg.TPU.BF16_MOMENTS = mode >= 1
+        cfg.TPU.BF16_SECOND_MOMENT = mode == 2
+        cfg.freeze()
+        params = {
+            "w": jnp.ones((16, 16), jnp.float32) * 0.5,
+            "bias": jnp.zeros((16,), jnp.float32),
+        }
+        tx, _, _ = make_optimizer(cfg, params, steps_per_epoch=10)
+        opt = tx.init(params)
+        x = jax.random.normal(jax.random.PRNGKey(0), (8, 16))
+
+        @jax.jit
+        def step(params, opt):
+            def loss(p):
+                y = x @ p["w"] + p["bias"]
+                return jnp.mean(jnp.square(y - 1.0))
+
+            l, g = jax.value_and_grad(loss)(params)
+            up, opt = tx.update(g, opt, params)
+            return jax.tree_util.tree_map(lambda a, u: a + u, params, up), opt, l
+
+        for _ in range(30):
+            params, opt, l = step(params, opt)
+        return params, opt, float(l)
+
+    p32, _, l32 = run(0)
+    pnu, opt_nu, lnu = run(2)
+    n_bf16 = sum(
+        1
+        for leaf in jax.tree_util.tree_leaves(opt_nu)
+        if hasattr(leaf, "dtype") and leaf.dtype == jnp.bfloat16
+    )
+    assert n_bf16 == 4, f"expected mu+nu x 2 leaves in bf16, got {n_bf16}"
+    np.testing.assert_allclose(l32, lnu, rtol=3e-2, atol=1e-4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p32), jax.tree_util.tree_leaves(pnu)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=8e-3)
+
+    cfg = get_cfg_defaults()
+    cfg.SOLVER.OPTIMIZER_NAME = "Adam"
+    cfg.TPU.BF16_SECOND_MOMENT = True  # without BF16_MOMENTS
+    cfg.freeze()
+    params = {"w": jnp.zeros((2, 2), jnp.float32)}
+    with pytest.raises(ValueError, match="BF16_SECOND_MOMENT"):
+        make_optimizer(cfg, params, steps_per_epoch=10)
+
+
+def test_scale_by_adam_mixed_fp32_matches_optax():
+    """With fp32 storage, scale_by_adam_mixed must reproduce
+    optax.scale_by_adam step-for-step (same rule, only storage dtype knobs)."""
+    import jax
+    import optax
+    from demo2_tpu.solver.optim import scale_by_adam_mixed
+
+    params = {"w": jnp.asarray(np.random.default_rng(0).normal(size=(8, 8)), jnp.float32)}
+    g = {"w": jnp.asarray(np.random.default_rng(1).normal(size=(8, 8)), jnp.float32)}
+    tx_a = scale_by_adam_mixed()
+    tx_b = optax.scale_by_adam()
+    sa, sb = tx_a.init(params), tx_b.init(params)
+    for i in range(5):
+        gi = jax.tree_util.tree_map(lambda x: x * (0.5 + 0.1 * i), g)
+        ua, sa = tx_a.update(gi, sa, params)
+        ub, sb = tx_b.update(gi, sb, params)
+        np.testing.assert_allclose(
+            np.asarray(ua["w"]), np.asarray(ub["w"]), rtol=1e-5, atol=1e-6
+        )

@@ -81,7 +81,9 @@ def build_cfg(arch: str = "demo"):
     cfg.SOLVER.IMS_PER_BATCH = 16
     cfg.DATALOADER.NUM_INSTANCE = 2
     cfg.TEST.IMS_PER_BATCH = 16
-    cfg.DATASETS.NAMES = "SyntheticHard"
+    # FRCA's retrieval quality needs the larger eval split for a stable mAP
+    # (VERDICT r2 item 5): 48 queries/288 gallery instead of 24/96.
+    cfg.DATASETS.NAMES = "SyntheticHardBig" if arch == "frca" else "SyntheticHard"
     cfg.TPU.COMPUTE_DTYPE = "float32"
     cfg.TPU.USE_FLASH_ATTENTION = False
     cfg.freeze()
@@ -316,21 +318,16 @@ def main():
         f"loss trajectories diverged: jax {jax_losses[-1]:.4f} vs "
         f"torch {torch_losses[-1]:.4f}"
     )
-    if args.arch == "frca":
-        # The FRCA-only embedding's retrieval quality is unstable at toy
-        # scale: losses bit-track between frameworks, but mAP swings by
-        # >0.05 run-to-run ON EACH side (torch went 0.095 @12ep ->
-        # 0.083 @24ep while jax went 0.068 -> 0.181).  Assert the stable
-        # signal (loss closeness, above) and non-degradation only.
-        assert mAP_jax > mAP0_jax - 0.01, "JAX mAP degraded"
-    else:
-        # Learning bar calibrated to what the TORCH REFERENCE itself
-        # achieves in 12 tiny-config epochs (~+0.023 mAP over untrained).
-        assert mAP_jax > mAP0_jax + 0.015, "JAX model failed to learn"
-        assert mAP_ref > mAP0_jax + 0.015, "reference model failed to learn"
-        assert abs(mAP_jax - mAP_ref) < 0.05, (
-            f"mAP band exceeded: jax {mAP_jax:.4f} vs torch {mAP_ref:.4f}"
-        )
+    # Learning bar calibrated to what the TORCH REFERENCE itself
+    # achieves in 12 tiny-config epochs (~+0.023 mAP over untrained).
+    # FRCA runs on SyntheticHardBig (48q/288g) so its mAP is stable enough
+    # for the same +-0.05 band as the other architectures (round 2 used a
+    # weaker loss-only assertion on the small split, VERDICT r2 item 5).
+    assert mAP_jax > mAP0_jax + 0.015, "JAX model failed to learn"
+    assert mAP_ref > mAP0_jax + 0.015, "reference model failed to learn"
+    assert abs(mAP_jax - mAP_ref) < 0.05, (
+        f"mAP band exceeded: jax {mAP_jax:.4f} vs torch {mAP_ref:.4f}"
+    )
     print("CROSSCHECK PASS", flush=True)
 
 

@@ -42,9 +42,18 @@ def log(msg):
 
 
 def main():
+    import argparse
+
     import numpy as np
 
     from demo2_tpu.config import get_cfg_defaults
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--set", action="append", default=[], metavar="SEC.KEY=V",
+                    help="config override for experiments, e.g. "
+                         "--set TPU.INT8_MLP=dynamic (driver runs use none)")
+    ap.add_argument("--epochs", type=int, default=0)
+    args = ap.parse_args()
     from demo2_tpu.data import make_dataloader
     from demo2_tpu.data.device_cache import build_device_cache
     from demo2_tpu.engine import create_train_state
@@ -70,9 +79,11 @@ def main():
     cfg.TPU.DATA_CACHE = "device"
     cfg.TPU.COMPUTE_DTYPE = "bfloat16" if on_tpu else "float32"
     cfg.TPU.USE_FLASH_ATTENTION = on_tpu
-    # bf16 first-moment Adam state: +8 img/s measured; trajectory-tested
-    # against fp32 state (tests/test_solver.py), off in config defaults.
+    # bf16 Adam moment STORAGE (both moments): +8 img/s (first, round 2)
+    # +3 img/s (second, round 3) measured; trajectory-tested against fp32
+    # state (tests/test_solver.py), off in config defaults.
     cfg.TPU.BF16_MOMENTS = on_tpu
+    cfg.TPU.BF16_SECOND_MOMENT = on_tpu
     if on_tpu:
         root = "/tmp/d2t_synth"
         t0 = time.perf_counter()
@@ -92,6 +103,23 @@ def main():
                  test_imgs_per_pid=4, src_size=(72, 36))
         epochs = 3
     cfg.DATASETS.ROOT_DIR = root
+    if args.epochs:
+        epochs = args.epochs
+    for ov in args.set:
+        path, _, raw = ov.partition("=")
+        sec, _, key = path.partition(".")
+        node = getattr(cfg, sec)
+        cur = getattr(node, key)
+        if isinstance(cur, bool):
+            val = raw.lower() in ("1", "true", "yes", "on")
+        elif isinstance(cur, int):
+            val = int(raw)
+        elif isinstance(cur, float):
+            val = float(raw)
+        else:
+            val = raw
+        setattr(node, key, val)
+        log(f"override: {sec}.{key} = {val!r}")
     cfg.freeze()
 
     train_pipe, sampler, val_pipe, nq, num_classes, cam_num, view_num = (

@@ -255,6 +255,11 @@ class TPUConfig:
     # a third of the optimizer's HBM traffic at a small numerics cost.  OFF
     # by default: the reference trains with full-fp32 Adam state.
     BF16_MOMENTS: bool = False
+    # Sub-bf16 experiment: int8 FORWARD for the CLIP backbone's MLP GEMMs,
+    # exact bf16 backward (ops/quant.py; docs/PERF.md round-3 measurement).
+    # "off" | "dynamic" (per-tensor max-abs act scale) | "static"
+    # (calibration constants, perf-representative of the fast int8 mode).
+    INT8_MLP: str = "off"
     # Also store Adam's SECOND moment in bf16 (requires BF16_MOMENTS).
     # Riskier than the first moment: (1-b2)*g^2 increments sit near bf16's
     # mantissa resolution (see solver/optim.py::scale_by_adam_mixed).

@@ -33,25 +33,58 @@ from ..ops.linear import torch_linear_kernel_init
 class CLIPMlp(nn.Module):
     width: int
     dtype: Any = jnp.float32
+    # Sub-bf16 experiment (TPU.INT8_MLP, docs/PERF.md round 3): run the two
+    # MLP GEMMs' FORWARD in int8 (per-channel weight scales, per-tensor
+    # activation scale) with the exact bf16 backward (ops/quant.py).
+    # "dynamic" = max-abs activation scale per call; "static" = fixed
+    # calibration constants (perf-only; the measured-fast int8 mode).
+    int8_fwd: str = "off"
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(
-            self.width * 4,
-            kernel_init=torch_linear_kernel_init,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="c_fc",
-        )(x)
-        x = quick_gelu(x)
-        x = nn.Dense(
-            self.width,
-            kernel_init=torch_linear_kernel_init,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="c_proj",
-        )(x)
-        return x
+        if self.int8_fwd == "off":
+            x = nn.Dense(
+                self.width * 4,
+                kernel_init=torch_linear_kernel_init,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="c_fc",
+            )(x)
+            x = quick_gelu(x)
+            x = nn.Dense(
+                self.width,
+                kernel_init=torch_linear_kernel_init,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="c_proj",
+            )(x)
+            return x
+
+        from ..ops.quant import int8_dense
+
+        # Declare the SAME param tree as the Dense path (dummy calls; their
+        # outputs are dead-code-eliminated), then run the quantized matmuls.
+        fc = nn.Dense(self.width * 4, kernel_init=torch_linear_kernel_init,
+                      dtype=self.dtype, param_dtype=jnp.float32, name="c_fc")
+        _ = fc(x[:1, :1] if x.ndim == 3 else x[:1])
+        proj = nn.Dense(self.width, kernel_init=torch_linear_kernel_init,
+                        dtype=self.dtype, param_dtype=jnp.float32, name="c_proj")
+        _ = proj(jnp.zeros((1, 1, self.width * 4) if x.ndim == 3
+                           else (1, self.width * 4), self.dtype))
+        fp = fc.variables["params"]
+        pp = proj.variables["params"]
+        if self.int8_fwd == "static":
+            # rough calibration: ln_2 output ~ N(0, 1) * gamma -> |max| ~ 10;
+            # QuickGELU output similar scale.  Perf-representative; quality
+            # runs use "dynamic".
+            s_fc, s_proj = 10.0 / 127.0, 10.0 / 127.0
+        else:
+            s_fc = s_proj = 0.0  # dynamic per-tensor
+        y = int8_dense(x, fp["kernel"], jnp.asarray(s_fc, jnp.float32))
+        y = y + fp["bias"].astype(y.dtype)
+        y = quick_gelu(y)
+        y = int8_dense(y, pp["kernel"], jnp.asarray(s_proj, jnp.float32))
+        return y + pp["bias"].astype(y.dtype)
 
 
 class FFNAdapter(nn.Module):
@@ -95,6 +128,7 @@ class ResidualAttentionBlock(nn.Module):
     use_adapter: bool = False
     use_prompt: bool = False
     prompt_k: int = 4
+    int8_mlp: str = "off"
 
     def _fused_attention(self, x):
         """Fused LN1+qkv+attention+out-proj+residual Pallas path.
@@ -213,7 +247,8 @@ class ResidualAttentionBlock(nn.Module):
             x = self._fused_mlp(x)
         else:
             y = LayerNorm(name="ln_2")(x)
-            y = CLIPMlp(self.width, dtype=self.dtype, name="mlp")(y)
+            y = CLIPMlp(self.width, dtype=self.dtype,
+                        int8_fwd=self.int8_mlp, name="mlp")(y)
             if self.use_adapter:
                 y = y + FFNAdapter(self.width, dtype=self.dtype, name="adapter_ffn")(x)
             x = x + y
@@ -242,6 +277,7 @@ class CLIPVisionTransformer(nn.Module):
     lora_rank: int = 0
     use_adapter: bool = False
     use_prompt: bool = False
+    int8_mlp: str = "off"
 
     @nn.compact
     def __call__(
@@ -295,6 +331,7 @@ class CLIPVisionTransformer(nn.Module):
                 lora_rank=self.lora_rank,
                 use_adapter=self.use_adapter,
                 use_prompt=self.use_prompt,
+                int8_mlp=self.int8_mlp,
                 name=f"resblocks_{i}",
             )
             if self.use_prompt:

@@ -94,6 +94,7 @@ class _DeMoBase(nn.Module):
             lora_rank=cfg.TPU.LORA_RANK if cfg.MODEL.FROZEN else 0,
             use_adapter=cfg.MODEL.ADAPTER,
             use_prompt=cfg.MODEL.PROMPT,
+            int8_mlp=cfg.TPU.INT8_MLP,
             name="backbone",
         )
 

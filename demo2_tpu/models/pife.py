@@ -54,6 +54,9 @@ class PIFE(nn.Module):
     # MambaPro per-block modality prompt tokens (MODEL.PROMPT); requires
     # the CLIP backbone (stacked modality-major rows).
     use_prompt: bool = False
+    # Sub-bf16 experiment: int8 forward for the CLIP MLP GEMMs
+    # (TPU.INT8_MLP; "off" | "dynamic" | "static"; see ops/quant.py).
+    int8_mlp: str = "off"
 
     @property
     def feat_dim(self) -> int:
@@ -128,6 +131,7 @@ class PIFE(nn.Module):
                 lora_rank=self.lora_rank,
                 use_adapter=self.use_adapter,
                 use_prompt=self.use_prompt,
+                int8_mlp=self.int8_mlp,
                 name="base",
             )(x, cv_emb, deterministic)
         else:

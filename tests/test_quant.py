@@ -50,3 +50,32 @@ def test_int8_dense_batched_shapes():
     w = jnp.asarray(rng.normal(size=(16, 12)) * 0.1, jnp.float32)
     y = int8_dense(x, w, jnp.zeros((), jnp.float32))
     assert y.shape == (2, 5, 12) and y.dtype == jnp.bfloat16
+
+
+def test_clip_mlp_int8_same_params_and_close_output():
+    """TPU.INT8_MLP keeps the exact Dense param tree (checkpoints stay
+    compatible) and approximates the fp forward within int8 noise."""
+    import flax
+    from demo2_tpu.models.clip_vit import CLIPMlp
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 5, 32)), jnp.float32)
+    m_off = CLIPMlp(32)
+    m_int8 = CLIPMlp(32, int8_fwd="dynamic")
+    v = m_off.init(jax.random.PRNGKey(0), x)
+    v8 = m_int8.init(jax.random.PRNGKey(0), x)
+    t_off = set(flax.traverse_util.flatten_dict(v["params"]))
+    t_int8 = set(flax.traverse_util.flatten_dict(v8["params"]))
+    assert t_off == t_int8
+    y = m_off.apply(v, x)
+    y8 = m_int8.apply(v, x)
+    err = float(jnp.max(jnp.abs(y - y8)))
+    ref = float(jnp.max(jnp.abs(y)))
+    assert err < 0.05 * ref + 0.05, (err, ref)
+    # grads flow through the custom VJP to both kernels
+    g = jax.grad(lambda p: jnp.sum(jnp.square(m_int8.apply({"params": p}, x))))(
+        v["params"]
+    )
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(float(jnp.max(jnp.abs(l))) > 0 for l in leaves)

@@ -13,7 +13,10 @@ Run (single process only!): python tools/bench_compile.py [--cold]
 from __future__ import annotations
 
 import argparse
+import pathlib
 import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import time
 
 import jax
@@ -93,9 +96,13 @@ def main():
     out = step(state, images, pids, cams, views, key)
     jax.block_until_ready(out[1]["loss"])
     t_first = time.perf_counter() - t0
+    # Steady-state: call with the ORIGINAL state object so the arg structure
+    # is bit-identical to the compiled signature (feeding the carried state
+    # back can change weak-type/commitment metadata and silently recompile —
+    # observed as a 41 s "steady" step on 2026-08-17).
     t0 = time.perf_counter()
-    out = step(out[0], images, pids, cams, views, key)
-    jax.block_until_ready(out[1]["loss"])
+    out2 = step(state, images, pids, cams, views, key)
+    jax.block_until_ready(out2[1]["loss"])
     t_steady = time.perf_counter() - t0
     log(f"train step: first call (trace+compile) {t_first:.1f}s, "
         f"steady {t_steady * 1e3:.1f}ms")

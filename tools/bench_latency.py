@@ -18,8 +18,11 @@ Run (single process only!): python tools/bench_latency.py
 from __future__ import annotations
 
 import json
+import pathlib
 import sys
 import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp

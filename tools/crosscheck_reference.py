@@ -58,7 +58,7 @@ ARCH_KNOBS = {
 }
 
 
-def build_cfg(arch: str = "demo"):
+def build_cfg(arch: str = "demo", int8_mlp: str = "off"):
     cfg = get_cfg_defaults()
     cfg.MODEL.TRANSFORMER_TYPE = "vit_base_patch16_224"
     cfg.INPUT.SIZE_TRAIN = (32, 16)
@@ -86,6 +86,10 @@ def build_cfg(arch: str = "demo"):
     cfg.DATASETS.NAMES = "SyntheticHardBig" if arch == "frca" else "SyntheticHard"
     cfg.TPU.COMPUTE_DTYPE = "float32"
     cfg.TPU.USE_FLASH_ATTENTION = False
+    # Sub-bf16 quality gate: train the JAX side with the int8-forward MLP
+    # against the fp32 torch reference and report the mAP delta (the
+    # reference has no quantized mode — asymmetry is the point).
+    cfg.TPU.INT8_MLP = int8_mlp
     cfg.freeze()
     return cfg
 
@@ -241,13 +245,17 @@ def main():
     ap.add_argument("--arch", default="demo", choices=sorted(ARCH_KNOBS))
     ap.add_argument("--epochs", default=0, type=int,
                     help="override the default horizon (12)")
+    ap.add_argument("--int8-mlp", default="off",
+                    choices=("off", "dynamic", "static"),
+                    help="run the JAX side with TPU.INT8_MLP (quality gate "
+                         "for the sub-bf16 experiment)")
     args = ap.parse_args()
     global EPOCHS
     if args.epochs:
         EPOCHS = args.epochs
 
     t0 = time.time()
-    cfg = build_cfg(args.arch)
+    cfg = build_cfg(args.arch, int8_mlp=args.int8_mlp)
     train_batches, val_batches, num_query, num_classes, camera_num = render_data(cfg)
     steps_per_epoch = len(train_batches[0])
     print(f"arch={args.arch}: {steps_per_epoch} steps/epoch x {EPOCHS} epochs, "
@@ -310,6 +318,9 @@ def main():
     out = pathlib.Path(__file__).resolve().parent.parent / "reports"
     out.mkdir(exist_ok=True)
     fname = "crosscheck.json" if args.arch == "demo" else f"crosscheck_{args.arch}.json"
+    if args.int8_mlp != "off":
+        report["config"] += f" + TPU.INT8_MLP={args.int8_mlp}"
+        fname = f"crosscheck_int8_{args.int8_mlp}.json"
     (out / fname).write_text(json.dumps(report, indent=2))
     print(json.dumps(report, indent=2))
 

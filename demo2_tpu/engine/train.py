@@ -331,6 +331,22 @@ def do_train(
         if chunk > 1 else None
     )
 
+    # Epoch tails (steps % chunk) get their own scan-step executable so the
+    # tail never falls back to per-step dispatch (each per-step call pays an
+    # index device_put + dispatch on the tunnel; the tail size is constant
+    # across epochs, so this is ONE extra compile, persistent-cached).
+    tail_fns: Dict[int, Any] = {}
+
+    def _scan_fn(k):
+        if k == chunk:
+            return train_step_k
+        if k not in tail_fns:
+            tail_fns[k] = build_train_step(
+                cfg, model, tx, center_tx, mesh, donate=cfg.TPU.DONATE_STATE,
+                scan_steps=k, device_cache=train_cache,
+            )
+        return tail_fns[k]
+
     def _run_epoch_chunked(state, order, epoch):
         bs = train_pipe.batch_size
         steps = len(order) // bs
@@ -358,14 +374,13 @@ def do_train(
         n_done = 0
         while n_done < steps:
             k = min(chunk, steps - n_done)
-            if k == chunk:
+            if k > 1:
                 idx_k = jnp.asarray(idx_all[n_done : n_done + k])
-                state, metrics = train_step_k(state, *cargs, idx_k, rng)
-            else:  # tail < chunk: per-step fn (one reusable extra compile)
-                for j in range(k):
-                    state, metrics = train_step(
-                        state, *cargs, jnp.asarray(idx_all[n_done + j]), rng
-                    )
+                state, metrics = _scan_fn(k)(state, *cargs, idx_k, rng)
+            else:  # single-step tail
+                state, metrics = train_step(
+                    state, *cargs, jnp.asarray(idx_all[n_done]), rng
+                )
             n_done += k
             prev, pending = pending, (n_done, step0 + n_done, metrics)
             flush(prev)  # read back the PREVIOUS chunk while this one runs

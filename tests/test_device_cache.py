@@ -254,3 +254,38 @@ def test_do_train_device_cache_e2e(tiny_cfg):
     )
     assert int(state.step) > 0
     assert best["mAP"] > 0.5  # easy synthetic separates quickly
+
+
+def test_do_train_chunked_with_tail(tiny_cfg):
+    """do_train's device-cache chunked dispatch with steps % LOG_PERIOD != 0:
+    the tail runs through its own scan executable (engine/train.py round 3)
+    and the loop completes with the right number of optimizer steps."""
+    from demo2_tpu.engine.train import do_train
+
+    cfg = tiny_cfg
+    cfg.MODEL.USE_SDTPS = True
+    cfg.MODEL.USE_DGAF = True
+    cfg.SOLVER.OPTIMIZER_NAME = "SGD"
+    cfg.TPU.DATA_CACHE = "device"
+    cfg.SOLVER.LOG_PERIOD = 3
+    cfg.SOLVER.MAX_EPOCHS = 1
+    cfg.SOLVER.EVAL_PERIOD = 5  # no eval in this 1-epoch run
+    cfg.freeze()
+    train_pipe, sampler, val_pipe, nq, nc, cams, views = make_dataloader(cfg)
+    model = make_model(cfg, nc, cams, views)
+    batch = next(train_pipe.iter_batches(sampler.epoch_indices(0)[:8], seed=0))
+    state, tx, ctx, sched = create_train_state(
+        cfg, model, jax.random.PRNGKey(0), batch, steps_per_epoch=4
+    )
+    mesh = make_mesh(8)
+    steps = len(sampler.epoch_indices(1)) // train_pipe.batch_size
+    assert steps % cfg.SOLVER.LOG_PERIOD not in (0, 1), (
+        f"fixture must leave a scan tail: {steps} steps, chunk "
+        f"{cfg.SOLVER.LOG_PERIOD}"
+    )
+    step0 = int(state.step)  # read BEFORE do_train donates the buffers
+    state2, best = do_train(
+        cfg, model, state, tx, ctx, train_pipe, sampler, val_pipe, nq,
+        schedule=sched, mesh=mesh,
+    )
+    assert int(state2.step) == step0 + steps

@@ -303,8 +303,8 @@ def main():
           f"({time.time()-t0:.0f}s)", flush=True)
 
     report = {
-        "config": f"{args.arch}: {cfg.MODEL.ARCH} sdtps_dgaf_v3 tiny "
-                  "(32x16, ViT-B width, SyntheticHard)",
+        "config": f"{args.arch}: {cfg.MODEL.ARCH} tiny (32x16, ViT-B width, "
+                  f"{cfg.DATASETS.NAMES})",
         "epochs": EPOCHS,
         "untrained_mAP_jax": mAP0_jax,
         "final_mAP_jax": mAP_jax,

@@ -86,6 +86,24 @@ def main():
     )
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
     logger.info("Total parameters: %.2fM", n_params / 1e6)
+    # Startup FLOP count (reference: model.flops() via fvcore's hand-kept op
+    # table, make_model.py:672-693; here XLA's exact cost model — trace-only,
+    # no compile).
+    try:
+        from demo2_tpu.utils.profiling import model_flops
+
+        import jax.numpy as jnp
+
+        fl = model_flops(
+            model,
+            {"params": state.params, "batch_stats": state.batch_stats},
+            jnp.asarray(sample.images),
+            jnp.asarray(sample.camids),
+        )
+        logger.info("Forward FLOPs (batch %d): %.1f GFLOPs",
+                    sample.images.shape[0], fl["flops"] / 1e9)
+    except Exception as e:  # cost model availability varies by backend
+        logger.info("FLOP count unavailable: %s", e)
 
     # Optional pretrained backbone weights (reference: meta_arch.py:59,66-71).
     if cfg.MODEL.PRETRAIN_PATH_T and os.path.exists(cfg.MODEL.PRETRAIN_PATH_T):

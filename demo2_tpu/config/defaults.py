@@ -111,6 +111,11 @@ class ModelConfig:
     SDTPS_CROSS_ATTN_TYPE: str = "cosine"
     SDTPS_CROSS_ATTN_HEADS: int = 4
     SDTPS_SHARE_CROSS_ATTN: bool = False
+    # Selects the SDTPS implementation: "active" = modeling/sdtps.py (the
+    # only one the reference ever imports); "complete"/"fixed" = the
+    # byte-identical sdtps_complete.py/sdtps_fixed.py variant (multi-head
+    # gated scorer + hard top-k), ported in models/sdtps_variants.py.
+    SDTPS_VARIANT: str = "active"
     # Trimodal-LIF (reference: config/defaults.py:52-55)
     USE_LIF: bool = False
     LIF_BETA: float = 0.4

@@ -161,6 +161,135 @@ class MSVR310(BaseDataset):
         return data
 
 
+class Market1501(BaseDataset):
+    """Single-modal lineage parser (reference: market1501.py:27-83).
+
+    Kept from the TransReID lineage for registry parity
+    (make_dataloader.py:15-22).  Samples carry ONE path, which the loader
+    routes through the wide-strip reader exactly as the reference's
+    `read_image` does for non-list paths (bases.py:28-43) — these datasets
+    are not tri-modal and the reference never trains DeMo on them.
+
+    Layout: ``market1501/{bounding_box_train,query,bounding_box_test}/*.jpg``
+    with ``<pid>_c<camid>`` filenames; pid==-1 junk images dropped, camid
+    1..6 -> 0..5, relabel on train.
+    """
+
+    dataset_name = "market1501"
+    _pattern = re.compile(r"([-\d]+)_c(\d)")
+    _max_cam = 6
+
+    def __init__(self, root: str):
+        self.dataset_dir = osp.join(root, self.dataset_name)
+        self.train = self._process(
+            osp.join(self.dataset_dir, "bounding_box_train"), relabel=True
+        )
+        self.query = self._process(osp.join(self.dataset_dir, "query"), relabel=False)
+        self.gallery = self._process(
+            osp.join(self.dataset_dir, "bounding_box_test"), relabel=False
+        )
+        self.finalize()
+
+    def _process(self, dir_path: str, relabel: bool):
+        imgs = sorted(glob.glob(osp.join(dir_path, "*.jpg")))
+        pid_container = set()
+        for p in imgs:
+            pid, _ = map(int, self._pattern.search(osp.basename(p)).groups())
+            if pid == -1:
+                continue
+            pid_container.add(pid)
+        pid2label = {pid: i for i, pid in enumerate(sorted(pid_container))}
+        data = []
+        for p in imgs:
+            pid, camid = map(int, self._pattern.search(osp.basename(p)).groups())
+            if pid == -1:
+                continue
+            assert 1 <= camid <= self._max_cam
+            if relabel:
+                pid = pid2label[pid]
+            data.append((p, pid, camid - 1, 1))
+        return data
+
+
+class DukeMTMCreID(Market1501):
+    """Single-modal lineage parser (reference: dukemtmcreid.py:32-111; the
+    download helper is dropped — zero-egress environment, and the parser is
+    lineage dead weight).  Same filename scheme as market1501, 8 cameras."""
+
+    dataset_name = "dukemtmcreid"
+    _max_cam = 8
+
+
+class MSMT17(BaseDataset):
+    """Single-modal lineage parser (reference: msmt17.py:21-75).
+
+    List-file driven layout: ``MSMT17/{train,test}`` image roots plus
+    ``list_{train,val,query,gallery}.txt`` with ``relpath pid`` lines; camid
+    is the third ``_``-separated filename field, 1-based; train = train+val
+    lists, pids pre-relabeled in the lists.
+    """
+
+    def __init__(self, root: str):
+        self.dataset_dir = osp.join(root, "MSMT17")
+        train_dir = osp.join(self.dataset_dir, "train")
+        test_dir = osp.join(self.dataset_dir, "test")
+        self.train = self._process(
+            train_dir, osp.join(self.dataset_dir, "list_train.txt")
+        ) + self._process(train_dir, osp.join(self.dataset_dir, "list_val.txt"))
+        self.query = self._process(
+            test_dir, osp.join(self.dataset_dir, "list_query.txt")
+        )
+        self.gallery = self._process(
+            test_dir, osp.join(self.dataset_dir, "list_gallery.txt")
+        )
+        self.finalize()
+
+    @staticmethod
+    def _process(dir_path: str, list_path: str):
+        data = []
+        with open(list_path) as fh:
+            for line in fh:
+                relpath, pid = line.split(" ")
+                camid = int(relpath.split("_")[2])
+                data.append((osp.join(dir_path, relpath), int(pid), camid - 1, 1))
+        return data
+
+
+class MSVWild863(BaseDataset):
+    """Tri-modal vehicle lineage parser (reference: MSVWild863.py:26-87).
+
+    Flat ``{train,query,test}/{vis,ni,th}/*.jpg`` layout (RGBNT201-style but
+    with the MSVR310 subdir names); pid = first 6 chars, camid = 4th char of
+    the second ``_`` field, trackid fixed at -1.
+    """
+
+    def __init__(self, root: str):
+        self.dataset_dir = osp.join(root, "MSVWild863")
+        self.train = self._process(osp.join(self.dataset_dir, "train"), relabel=True)
+        self.query = self._process(osp.join(self.dataset_dir, "query"), relabel=False)
+        self.gallery = self._process(osp.join(self.dataset_dir, "test"), relabel=False)
+        self.finalize()
+
+    def _process(self, dir_path: str, relabel: bool):
+        rgb = sorted(glob.glob(osp.join(dir_path, "vis", "*.jpg")))
+        pid_container = {int(osp.basename(p).split("_")[0][0:6]) for p in rgb}
+        pid2label = {pid: i for i, pid in enumerate(sorted(pid_container))}
+        data = []
+        for p in rgb:
+            name = osp.basename(p)
+            pid = int(name.split("_")[0][0:6])
+            camid = int(name.split("_")[1][3]) - 1
+            if relabel:
+                pid = pid2label[pid]
+            paths = [
+                p,
+                osp.join(dir_path, "ni", name),
+                osp.join(dir_path, "th", name),
+            ]
+            data.append((paths, pid, camid, -1))
+        return data
+
+
 class SyntheticTriModal(BaseDataset):
     """Procedural tri-modal dataset with identity structure (CPU-testable)."""
 
@@ -235,6 +364,11 @@ DATASET_REGISTRY = {
     "RGBNT201": RGBNT201,
     "RGBNT100": RGBNT100,
     "MSVR310": MSVR310,
+    # Lineage registry parity (reference __factory, make_dataloader.py:15-22).
+    "market1501": Market1501,
+    "dukemtmc": DukeMTMCreID,
+    "msmt17": MSMT17,
+    "MSVWild863": MSVWild863,
     "Synthetic": SyntheticTriModal,
     # Non-trivially-separable variant: eval metrics start well below 100%
     # and respond to training (the easy variant saturates instantly).

@@ -7,3 +7,4 @@ from .losses import (
     center_loss,
     make_loss_fn,
 )
+from . import metric_learning

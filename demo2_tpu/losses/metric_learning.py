@@ -1,0 +1,319 @@
+"""Metric-learning loss zoo (dormant in the reference, ported for parity).
+
+Reference: layers/metric_learning.py:9-188 (ContrastiveLoss, CircleLoss,
+Arcface, Cosface, AMSoftmax), layers/cluster_loss.py:8-103 (ClusterLoss),
+layers/range_loss.py:7-231 (RangeLoss), layers/hcloss.py:6-39
+(hetero_loss), layers/mutilmargin.py:7-43 (multiModalMarginLossNew),
+layers/supcontrast.py:10-29 (SupConLoss).
+
+The reference's `make_loss` never wires any of these (layers/make_loss.py
+only builds xent + triplet + center; `MODEL.ID_LOSS_TYPE` /
+`SOLVER.COSINE_MARGIN/COSINE_SCALE` are defined in config/defaults.py:25,
+180-181 but unused) — they are TransReID-lineage dead weight.  They are
+ported here so a reference user finds the full loss surface, and each is
+parity-tested against the direct-imported reference (tests/ref_loader.py).
+
+TPU-first redesign notes:
+  * Everything is a pure function over (params, features, labels) — margin
+    heads take their class-weight matrix as an argument instead of owning an
+    nn.Parameter, so they drop into any optax/flax train step.
+  * The reference's data-dependent control flow (``targets.unique()``,
+    ``masked_select`` + boolean indexing, per-class Python loops in
+    cluster/range/hetero losses) cannot trace under jit.  All class-grouped
+    losses here instead take the PK sampler's static batch structure
+    (``num_ids`` P groups x ``k`` instances, the layout the reference's
+    ``ordered=True`` fast path assumes: cluster_loss.py:46-48,
+    range_loss.py:105-108) and reshape to ``(P, K, D)`` — fixed shapes, no
+    host sync, vectorized over classes where the reference loops.
+  * `masked_select(...).sort()` followed by a reduction is replaced by
+    masked sums (ContrastiveLoss — the sort is dead there) or full sorts of
+    fixed-size arrays (RangeLoss top-k trick, range_loss.py:60-63).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def _l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
+    return x / jnp.clip(jnp.linalg.norm(x, axis=axis, keepdims=True), eps, None)
+
+
+def _cosine_logits(weight: jnp.ndarray, feat: jnp.ndarray) -> jnp.ndarray:
+    """cos(theta) between normalized features and normalized class weights.
+
+    ``weight`` is (num_classes, dim) exactly like the reference's
+    ``F.linear(F.normalize(input), F.normalize(self.weight))``
+    (metric_learning.py:103,145).
+    """
+    return _l2_normalize(feat.astype(jnp.float32)) @ _l2_normalize(
+        weight.astype(jnp.float32)
+    ).T
+
+
+def arcface_logits(
+    weight: jnp.ndarray,
+    feat: jnp.ndarray,
+    labels: jnp.ndarray,
+    s: float = 30.0,
+    m: float = 0.30,
+    easy_margin: bool = False,
+    ls_eps: float = 0.0,
+) -> jnp.ndarray:
+    """Additive angular margin logits, s*cos(theta + m) on the target class.
+
+    Reference: Arcface.forward metric_learning.py:101-121 (including the
+    cos>th fallback to ``cosine - mm`` and the label-smoothing mix).
+    """
+    cosine = _cosine_logits(weight, feat)
+    sine = jnp.sqrt(jnp.clip(1.0 - cosine**2, 0.0, None))
+    phi = cosine * math.cos(m) - sine * math.sin(m)
+    if easy_margin:
+        phi = jnp.where(cosine > 0, phi, cosine)
+    else:
+        phi = jnp.where(
+            cosine > math.cos(math.pi - m), phi, cosine - math.sin(math.pi - m) * m
+        )
+    one_hot = jax.nn.one_hot(labels, weight.shape[0], dtype=cosine.dtype)
+    if ls_eps > 0:
+        one_hot = (1 - ls_eps) * one_hot + ls_eps / weight.shape[0]
+    return s * (one_hot * phi + (1.0 - one_hot) * cosine)
+
+
+def cosface_logits(
+    weight: jnp.ndarray,
+    feat: jnp.ndarray,
+    labels: jnp.ndarray,
+    s: float = 30.0,
+    m: float = 0.30,
+) -> jnp.ndarray:
+    """Large-margin cosine logits, s*(cos(theta) - m) on the target class.
+
+    Reference: Cosface.forward metric_learning.py:143-156.
+    """
+    cosine = _cosine_logits(weight, feat)
+    one_hot = jax.nn.one_hot(labels, weight.shape[0], dtype=cosine.dtype)
+    return s * (cosine - one_hot * m)
+
+
+def am_softmax_logits(
+    weight: jnp.ndarray,
+    feat: jnp.ndarray,
+    labels: jnp.ndarray,
+    s: float = 30.0,
+    m: float = 0.30,
+) -> jnp.ndarray:
+    """Additive-margin softmax logits; identical math to cosface but the
+    reference parameterizes the weight as (in_features, out_features) and
+    normalizes per column (AMSoftmax.forward metric_learning.py:176-189).
+    Takes (num_classes, dim) here for uniformity with the other heads.
+    """
+    return cosface_logits(weight, feat, labels, s=s, m=m)
+
+
+def circle_logits(
+    weight: jnp.ndarray,
+    feat: jnp.ndarray,
+    labels: jnp.ndarray,
+    s: float = 256.0,
+    m: float = 0.25,
+) -> jnp.ndarray:
+    """Circle-loss logits with self-paced linear weighting.
+
+    Reference: CircleLoss.__call__ metric_learning.py:58-73; alpha_p/alpha_n
+    are detached (stop_gradient) exactly as the reference's ``.detach()``.
+    """
+    sim = _cosine_logits(weight, feat)
+    sim_d = jax.lax.stop_gradient(sim)
+    alpha_p = jnp.clip(-sim_d + 1 + m, 0.0, None)
+    alpha_n = jnp.clip(sim_d + m, 0.0, None)
+    s_p = s * alpha_p * (sim - (1 - m))
+    s_n = s * alpha_n * (sim - m)
+    one_hot = jax.nn.one_hot(labels, weight.shape[0], dtype=sim.dtype)
+    return one_hot * s_p + (1.0 - one_hot) * s_n
+
+
+def contrastive_loss(
+    feat: jnp.ndarray, labels: jnp.ndarray, margin: float = 0.3
+) -> jnp.ndarray:
+    """Pairwise contrastive loss over the inner-product similarity matrix.
+
+    Reference: ContrastiveLoss.forward metric_learning.py:14-42.  The
+    per-row ``masked_select`` + ``sort`` there feeds plain sums, so the sort
+    is dead; the exact same value falls out of masked sums: positives with
+    sim < 1 (which drops self-similarity for normalized features)
+    contribute (1 - sim), negatives with sim > margin contribute sim.
+    """
+    feat = feat.astype(jnp.float32)
+    sim = feat @ feat.T
+    same = labels[:, None] == labels[None, :]
+    pos = same & (sim < 1.0)
+    neg = (~same) & (sim > margin)
+    per_row = jnp.sum(jnp.where(pos, 1.0 - sim, 0.0), axis=1) + jnp.sum(
+        jnp.where(neg, sim, 0.0), axis=1
+    )
+    return jnp.mean(per_row)
+
+
+def _pk_view(feat: jnp.ndarray, k: int) -> jnp.ndarray:
+    """(P*K, D) -> (P, K, D) under the PK sampler's contiguous-group layout
+    (the reference's ``ordered=True`` assumption, cluster_loss.py:46-48)."""
+    n, d = feat.shape
+    assert n % k == 0, f"batch {n} not divisible by instances-per-id {k}"
+    return feat.reshape(n // k, k, d)
+
+
+def _pairwise_dist(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Euclidean distance with the reference's 1e-12 clamp + sqrt
+    (cluster_loss.py:17-31); batched over leading axes."""
+    xx = jnp.sum(x**2, -1)[..., :, None]
+    yy = jnp.sum(y**2, -1)[..., None, :]
+    sq = xx + yy - 2.0 * jnp.einsum("...md,...nd->...mn", x, y)
+    return jnp.sqrt(jnp.clip(sq, 1e-12, None))
+
+
+def cluster_loss(
+    feat: jnp.ndarray, k: int, margin: float = 10.0
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Margin between per-class max-intra and min-inter center distances.
+
+    Reference: ClusterLoss._cluster_loss cluster_loss.py:33-103 — per class:
+    center = mean of its features, intra = max distance center->members,
+    inter = min distance to the other centers, loss = mean(relu(intra -
+    inter + margin)).  The per-class Python loops become one batched distmat
+    over the (P, K, D) PK view.
+    """
+    g = _pk_view(feat.astype(jnp.float32), k)  # (P, K, D)
+    centers = jnp.mean(g, axis=1)  # (P, D)
+    intra = jnp.max(_pairwise_dist(centers[:, None, :], g)[:, 0, :], axis=1)  # (P,)
+    cdist = _pairwise_dist(centers, centers)
+    p = centers.shape[0]
+    inter = jnp.min(jnp.where(jnp.eye(p, dtype=bool), jnp.inf, cdist), axis=1)
+    loss = jnp.mean(jax.nn.relu(intra - inter + margin))
+    return loss, intra, inter
+
+
+def range_loss(
+    feat: jnp.ndarray,
+    k_instances: int,
+    top_k: int = 2,
+    margin: float = 0.1,
+    alpha: float = 0.5,
+    beta: float = 0.5,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Range loss: alpha * intra + beta * inter.
+
+    Reference: RangeLoss range_loss.py:7-222.  Intra per class = harmonic
+    mean of the top-k largest pairwise distances — the reference extracts
+    them from the FULL sorted flattened distmat with a stride-2 trick
+    (``sort()[0][0, -k*2::2]``, range_loss.py:60-63, each pair appearing
+    twice); identical here on the fixed (K*K,) sort.  Inter = relu(margin -
+    min center distance), min taken as element [P] of the sorted flattened
+    center distmat (the first P entries are the ~1e-6 self-distances,
+    range_loss.py:88-91).
+    """
+    g = _pk_view(feat.astype(jnp.float32), k_instances)  # (P, K, D)
+    p = g.shape[0]
+
+    d = _pairwise_dist(g, g).reshape(p, -1)  # (P, K*K)
+    topk = jnp.sort(d, axis=1)[:, -top_k * 2 :: 2]  # (P, top_k)
+    intra = jnp.sum(top_k / jnp.sum(1.0 / topk, axis=1))
+
+    centers = jnp.mean(g, axis=1)
+    cflat = jnp.sort(_pairwise_dist(centers, centers).reshape(-1))
+    inter = jax.nn.relu(margin - cflat[p])
+    return alpha * intra + beta * inter, intra, inter
+
+
+def hetero_loss(
+    feat1: jnp.ndarray,
+    feat2: jnp.ndarray,
+    k: int,
+    margin: float = 0.1,
+    dist_type: str = "l2",
+) -> jnp.ndarray:
+    """Cross-modal center alignment: sum over classes of the distance
+    between the two modalities' class centers.
+
+    Reference: hetero_loss hcloss.py:18-39 — 'l2' sums squared error
+    (MSELoss reduction='sum'), 'l1' means absolute error (L1Loss default),
+    'cos' accumulates relu(1 - cos).  The ``chunk(label_num)`` contiguous
+    grouping is the PK layout, made explicit by ``k``.  ``margin`` is kept
+    for signature parity; the reference never uses it in forward.
+    """
+    del margin
+    c1 = jnp.mean(_pk_view(feat1.astype(jnp.float32), k), axis=1)
+    c2 = jnp.mean(_pk_view(feat2.astype(jnp.float32), k), axis=1)
+    if dist_type == "l2":
+        per = jnp.sum((c1 - c2) ** 2, axis=1)
+    elif dist_type == "l1":
+        per = jnp.mean(jnp.abs(c1 - c2), axis=1)
+    elif dist_type == "cos":
+        cos = jnp.sum(_l2_normalize(c1) * _l2_normalize(c2), axis=1)
+        per = jax.nn.relu(1.0 - cos)
+    else:
+        raise ValueError(f"unknown dist_type {dist_type!r}")
+    return jnp.sum(jnp.abs(per) if dist_type in ("l2", "l1") else per)
+
+
+def multimodal_margin_loss(
+    feat1: jnp.ndarray,
+    feat2: jnp.ndarray,
+    feat3: jnp.ndarray,
+    k: int,
+    margin: float = 3.0,
+    dist_type: str = "l2",
+) -> jnp.ndarray:
+    """Tri-modal center-spread regularizer: per class, the max over the three
+    pairwise |margin - dist(center_i, center_j)| deviations.
+
+    Reference: multiModalMarginLossNew mutilmargin.py:19-41 ('l2' MSE-sum,
+    'l1' mean, matching hetero_loss's dist choices).
+    """
+    c = [
+        jnp.mean(_pk_view(f.astype(jnp.float32), k), axis=1)
+        for f in (feat1, feat2, feat3)
+    ]
+
+    def dist(a, b):
+        if dist_type == "l2":
+            return jnp.sum((a - b) ** 2, axis=1)
+        if dist_type == "l1":
+            return jnp.mean(jnp.abs(a - b), axis=1)
+        raise ValueError(f"unknown dist_type {dist_type!r}")
+
+    devs = jnp.stack(
+        [
+            jnp.abs(margin - dist(c[0], c[1])),
+            jnp.abs(margin - dist(c[1], c[2])),
+            jnp.abs(margin - dist(c[0], c[2])),
+        ]
+    )
+    return jnp.sum(jnp.max(devs, axis=0))
+
+
+def supcon_loss(
+    text_features: jnp.ndarray,
+    image_features: jnp.ndarray,
+    t_labels: jnp.ndarray,
+    i_labels: jnp.ndarray,
+    temperature: float = 1.0,
+) -> jnp.ndarray:
+    """Supervised contrastive loss between two feature sets.
+
+    Reference: SupConLoss.forward supcontrast.py:15-29 (max-subtracted
+    log-softmax over rows, positive-mask mean).
+    """
+    t = text_features.astype(jnp.float32)
+    v = image_features.astype(jnp.float32)
+    mask = (t_labels[:, None] == i_labels[None, :]).astype(jnp.float32)
+    logits = (t @ v.T) / temperature
+    logits = logits - jax.lax.stop_gradient(jnp.max(logits, axis=1, keepdims=True))
+    log_prob = logits - jnp.log(jnp.sum(jnp.exp(logits), axis=1, keepdims=True))
+    mean_log_prob_pos = jnp.sum(mask * log_prob, axis=1) / jnp.clip(
+        jnp.sum(mask, axis=1), 1.0, None
+    )
+    return -jnp.mean(mean_log_prob_pos)

@@ -100,6 +100,19 @@ class _DeMoBase(nn.Module):
 
     def _sdtps(self):
         cfg = self.cfg
+        if cfg.MODEL.SDTPS_VARIANT in ("complete", "fixed"):
+            from .sdtps_variants import SDTPSComplete
+
+            return SDTPSComplete(
+                embed_dim=self.feat_dim,
+                num_heads=cfg.MODEL.SDTPS_CROSS_ATTN_HEADS,
+                sparse_ratio=cfg.MODEL.SDTPS_SPARSE_RATIO,
+                use_gumbel=cfg.MODEL.SDTPS_USE_GUMBEL,
+                gumbel_tau=cfg.MODEL.SDTPS_GUMBEL_TAU,
+                use_cross_attn=cfg.MODEL.SDTPS_CROSS_ATTN_TYPE == "attention",
+                dtype=_dtype_of(cfg),
+                name="sdtps",
+            )
         return MultiModalSDTPS(
             embed_dim=self.feat_dim,
             sparse_ratio=cfg.MODEL.SDTPS_SPARSE_RATIO,

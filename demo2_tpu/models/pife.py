@@ -60,7 +60,19 @@ class PIFE(nn.Module):
 
     @property
     def feat_dim(self) -> int:
-        return 512 if "ViT-B-16" in self.transformer_type else 768
+        if "ViT-B-16" in self.transformer_type:
+            return 512
+        if self.transformer_type in ("t2t_vit_t_14", "t2t_vit_t_24"):
+            from .t2t import T2T_CONFIGS
+
+            dim = T2T_CONFIGS[self.transformer_type][0]
+            return dim if self.width_override < 0 else self.width_override
+        if "swin" in self.transformer_type:
+            # 'swin_small_patch16_224' is not Swin at all in the reference —
+            # it builds the plain `Trans` ViT at width 384
+            # (vit_pytorch.py:524-535) and is absent from the factory map.
+            return 384 if self.width_override < 0 else self.width_override
+        return 768 if self.width_override < 0 else self.width_override
 
     @property
     def patch_grid(self) -> Tuple[int, int]:
@@ -69,6 +81,9 @@ class PIFE(nn.Module):
                 self.img_size[0] // self.stride_size[0],
                 self.img_size[1] // self.stride_size[1],
             )
+        if self.transformer_type.startswith("t2t"):
+            # Three soft splits with strides 4*2*2 = 16 (t2t.py:89-90).
+            return self.img_size[0] // 16, self.img_size[1] // 16
         num_y = (self.img_size[0] - 16) // self.stride_size[0] + 1
         num_x = (self.img_size[1] - 16) // self.stride_size[1] + 1
         return num_y, num_x
@@ -134,12 +149,40 @@ class PIFE(nn.Module):
                 int8_mlp=self.int8_mlp,
                 name="base",
             )(x, cv_emb, deterministic)
+        elif self.transformer_type in ("t2t_vit_t_14", "t2t_vit_t_24"):
+            # T2T hooks: registered-but-unrunnable in the reference
+            # (meta_arch.py never constructs them); a working backbone here.
+            from .t2t import T2T_CONFIGS, T2TViT
+
+            dim, depth, heads = T2T_CONFIGS[self.transformer_type]
+            tokens = T2TViT(
+                img_size=tuple(self.img_size),
+                embed_dim=dim if self.width_override < 0 else self.width_override,
+                depth=depth if self.depth_override < 0 else self.depth_override,
+                num_heads=heads if self.heads_override < 0 else self.heads_override,
+                camera=self.camera_num if self.sie_camera else 0,
+                view=self.view_num if self.sie_view else 0,
+                sie_xishu=self.sie_coe,
+                drop_path_rate=self.drop_path,
+                drop_rate=self.drop_rate,
+                attn_drop_rate=self.attn_drop_rate,
+                dtype=self.dtype,
+                attn_implementation=self.attn_implementation,
+                remat=self.remat,
+                name="base",
+            )(x, cams, views, deterministic=deterministic)
         else:
             # ImageNet ViT family (reference factory: vit_pytorch.py:487-523;
             # make_model's feat-dim dispatch supports the 768-d variants).
+            embed_dim = 768
             if "vit_small" in self.transformer_type:
                 depth, heads, mlp_ratio, qkv_bias = 8, 8, 3.0, False
                 qk_scale = 768 ** -0.5
+            elif "swin" in self.transformer_type:
+                # Plain Trans at width 384 (vit_pytorch.py:524-535).
+                depth, heads, mlp_ratio, qkv_bias = 12, 6, 4.0, True
+                qk_scale = None
+                embed_dim = 384
             elif "vit_base" in self.transformer_type or "deit_base" in self.transformer_type:
                 depth, heads, mlp_ratio, qkv_bias = 12, 12, 4.0, True
                 qk_scale = None
@@ -147,13 +190,15 @@ class PIFE(nn.Module):
                 raise NotImplementedError(
                     f"TRANSFORMER_TYPE '{self.transformer_type}' is not supported; "
                     "use 'ViT-B-16' (CLIP), 'vit_base_patch16_224', "
-                    "'deit_base_patch16_224' or 'vit_small_patch16_224'. "
-                    "(t2t/swin are registered-but-dead hooks in the reference, "
+                    "'deit_base_patch16_224', 'vit_small_patch16_224', "
+                    "'t2t_vit_t_14' or 't2t_vit_t_24'. "
+                    "(swin is an unregistered dead mention in the reference, "
                     "and deit_small breaks its feat-dim dispatch.)"
                 )
             tokens = ImageNetViT(
                 img_size=tuple(self.img_size),
                 stride_size=tuple(self.stride_size),
+                embed_dim=embed_dim if self.width_override < 0 else self.width_override,
                 depth=depth if self.depth_override < 0 else self.depth_override,
                 num_heads=heads,
                 mlp_ratio=mlp_ratio,

@@ -207,3 +207,15 @@ def test_imagenet_vit_backbone(tiny_cfg):
     out, nc = _run(tiny_cfg, batch=2)
     assert out["branches"]["ori"][1].shape == (2, 3 * 768)
     assert out["embedding"].shape == (2, 3 * 768)
+
+
+def test_swin_alias_backbone(tiny_cfg):
+    # 'swin_small_patch16_224' is the reference's mislabeled plain-ViT-384
+    # stub (vit_pytorch.py:524-535, absent from __factory_T_type); here it
+    # runs: Trans at width 384 -> 3*384 embedding.
+    tiny_cfg.MODEL.TRANSFORMER_TYPE = "swin_small_patch16_224"
+    tiny_cfg.TPU.BACKBONE_WIDTH = -1
+    tiny_cfg.TPU.BACKBONE_HEADS = -1
+    tiny_cfg.TPU.BACKBONE_DEPTH = 2  # tiny depth for CPU
+    out, _ = _run(tiny_cfg, batch=2)
+    assert out["embedding"].shape == (2, 3 * 384)

@@ -269,6 +269,11 @@ class TPUConfig:
     # Riskier than the first moment: (1-b2)*g^2 increments sit near bf16's
     # mantissa resolution (see solver/optim.py::scale_by_adam_mixed).
     BF16_SECOND_MOMENT: bool = False
+    # Make SOLVER.LR_SCHEDULER='cosine' functional using the exact recipe of
+    # the reference's commented-out cosine factory path
+    # (scheduler_factory.py:21-48).  OFF by default: the reference's factory
+    # ignores the flag and always uses warmup-multistep.
+    ENABLE_COSINE_SCHEDULE: bool = False
     # Input pipeline: 'host' re-decodes per epoch (reference DataLoader
     # semantics); 'device' decodes once into an HBM-resident uint8 cache and
     # runs the random augmentations in-graph (data/device_cache.py) — the

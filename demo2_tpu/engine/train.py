@@ -347,7 +347,7 @@ def do_train(
             )
         return tail_fns[k]
 
-    def _run_epoch_chunked(state, order, epoch):
+    def _run_epoch_chunked(state, order, epoch, async_log):
         bs = train_pipe.batch_size
         steps = len(order) // bs
         idx_all = np.asarray(order[: steps * bs], np.int32).reshape(steps, bs)
@@ -355,12 +355,12 @@ def do_train(
                  train_cache.viewids)
         step0 = int(state.step)  # one readback per epoch
         losses, accs = [], []
-        pending = None  # (iter_no, global_step, metrics) not yet read back
 
-        def flush(p):
-            if p is None or not primary:
+        def flush(it, gstep, m):
+            # Runs on the async-writer thread: the float() conversions block
+            # on tunnel RTT there, not on the dispatch thread.
+            if not primary:
                 return
-            it, gstep, m = p
             lr = float(schedule(gstep)) if schedule else 0.0
             logger.info(
                 "Epoch[%d] Iteration[%d] Loss: %.3f, Acc: %.3f, Base Lr: %.2e",
@@ -382,19 +382,29 @@ def do_train(
                     state, *cargs, jnp.asarray(idx_all[n_done]), rng
                 )
             n_done += k
-            prev, pending = pending, (n_done, step0 + n_done, metrics)
-            flush(prev)  # read back the PREVIOUS chunk while this one runs
+            async_log.submit(
+                functools.partial(flush, n_done, step0 + n_done, metrics)
+            )
             losses.append(metrics["loss"])
             accs.append(metrics["acc"])
-        flush(pending)
         return state, losses, accs, steps
+
+    # All per-iteration logging (device-array readback + TB/JSONL writes)
+    # runs on a background thread in the chunked path, so the dispatch loop
+    # never blocks on tunnel RTTs (docs/PERF.md round 3: the residual
+    # do_train-vs-bench gap was exactly this host work).
+    from ..utils.metrics_log import AsyncWriter
+
+    async_log = AsyncWriter() if chunk > 1 else None
 
     for epoch in range(start_epoch, epochs + 1):
         t0 = time.time()
         losses, accs, n_iter = [], [], 0
         order = sampler.epoch_indices(epoch)
         if chunk > 1:
-            state, losses, accs, n_iter = _run_epoch_chunked(state, order, epoch)
+            state, losses, accs, n_iter = _run_epoch_chunked(
+                state, order, epoch, async_log
+            )
             state_holder[0] = state
         else:
             for args in _epoch_steps(order, epoch):
@@ -419,6 +429,8 @@ def do_train(
         if n_iter:
             jax.block_until_ready(state.params)
             dt = (time.time() - t0) / n_iter
+            if async_log is not None:
+                async_log.flush()  # drain iteration lines; keeps log order
             if primary:
                 logger.info(
                     "Epoch %d done. Time per batch: %.3f[s] Speed: %.1f[samples/s]",
@@ -460,4 +472,6 @@ def do_train(
                 writer.add_scalar("Val_Best/mAP", best["mAP"], epoch)
             if primary:
                 logger.info("Best mAP: %.1f%%", best["mAP"] * 100)
+    if async_log is not None:
+        async_log.close()
     return state, best

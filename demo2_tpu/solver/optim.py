@@ -16,6 +16,7 @@ Torch-parity notes:
 from __future__ import annotations
 
 import bisect
+import math
 from typing import Any, Callable, Sequence
 
 import jax
@@ -80,21 +81,87 @@ def warmup_linear_lr(
     return lr_at
 
 
+def timm_cosine_lr(
+    base_lr: float,
+    t_initial: int,
+    lr_min: float = 0.0,
+    decay_rate: float = 1.0,
+    warmup_t: int = 0,
+    warmup_lr_init: float = 0.0,
+    cycle_limit: int = 0,
+    noise_range_t=None,
+    noise_pct: float = 0.67,
+    noise_seed: int = 42,
+) -> Callable[[int], float]:
+    """lr(epoch) per the timm CosineLRScheduler the reference keeps for its
+    commented-out factory path (solver/cosine_lr.py:67-94 with t_mul=1,
+    warmup_prefix=False; noise: solver/scheduler.py:87-105, normal type with
+    the resample-within-pct loop on a per-t seeded generator).
+
+    The noise branch needs torch bit-parity (torch.Generator + randn), so
+    torch is imported lazily there only — the package stays torch-free on
+    every default path (same convention as utils/converters.py).
+    """
+
+    def lr_at(t: int) -> float:
+        if warmup_t and t < warmup_t:
+            lr = warmup_lr_init + t * (base_lr - warmup_lr_init) / warmup_t
+        else:
+            i = t // t_initial
+            t_curr = t - t_initial * i
+            gamma = decay_rate**i
+            if cycle_limit == 0 or i < cycle_limit:
+                lr = lr_min * gamma + 0.5 * (base_lr * gamma - lr_min * gamma) * (
+                    1 + math.cos(math.pi * t_curr / t_initial)
+                )
+            else:
+                lr = lr_min
+        if noise_range_t is not None and noise_range_t[0] <= t < noise_range_t[1]:
+            import torch  # lazy: only the dormant noisy-cosine path needs it
+
+            g = torch.Generator()
+            g.manual_seed(noise_seed + t)
+            while True:
+                noise = torch.randn(1, generator=g).item()
+                if abs(noise) < noise_pct:
+                    break
+            lr = lr + lr * noise
+        return lr
+
+    return lr_at
+
+
 def make_lr_schedule(cfg: Config, steps_per_epoch: int) -> Callable[[Any], Any]:
     """Step-indexed schedule delegating to the epoch-granular rule.
 
     The reference's `create_scheduler` ALWAYS returns WarmupMultiStepLR
     regardless of SOLVER.LR_SCHEDULER (scheduler_factory.py:7-17; the cosine
-    block is commented out) — mirrored here.
+    block is commented out) — mirrored by default.  Setting
+    ``TPU.ENABLE_COSINE_SCHEDULE`` makes SOLVER.LR_SCHEDULER='cosine'
+    functional with the exact recipe of that commented block
+    (scheduler_factory.py:21-48: lr_min=0.001*base, warmup_lr_init=0.1*base,
+    decay_rate=0.1, cycle_limit=1, seeded LR noise over all epochs).
     """
-    lr_at = warmup_multistep_lr(
-        cfg.SOLVER.BASE_LR,
-        cfg.SOLVER.STEPS,
-        cfg.SOLVER.GAMMA,
-        cfg.SOLVER.WARMUP_FACTOR,
-        cfg.SOLVER.WARMUP_ITERS,
-        cfg.SOLVER.WARMUP_METHOD,
-    )
+    if cfg.TPU.ENABLE_COSINE_SCHEDULE and cfg.SOLVER.LR_SCHEDULER == "cosine":
+        lr_at = timm_cosine_lr(
+            cfg.SOLVER.BASE_LR,
+            t_initial=cfg.SOLVER.MAX_EPOCHS,
+            lr_min=0.001 * cfg.SOLVER.BASE_LR,
+            decay_rate=0.1,
+            warmup_t=cfg.SOLVER.WARMUP_ITERS,
+            warmup_lr_init=0.1 * cfg.SOLVER.BASE_LR,
+            cycle_limit=1,
+            noise_range_t=(0, cfg.SOLVER.MAX_EPOCHS),
+        )
+    else:
+        lr_at = warmup_multistep_lr(
+            cfg.SOLVER.BASE_LR,
+            cfg.SOLVER.STEPS,
+            cfg.SOLVER.GAMMA,
+            cfg.SOLVER.WARMUP_FACTOR,
+            cfg.SOLVER.WARMUP_ITERS,
+            cfg.SOLVER.WARMUP_METHOD,
+        )
     # Precompute a dense epoch->lr table so the schedule works on traced steps.
     max_epochs = cfg.SOLVER.MAX_EPOCHS + 2
     host_table = [float(jnp.float32(lr_at(e))) for e in range(max_epochs)]

@@ -41,6 +41,71 @@ class MetricsLogger:
             self._f = None
 
 
+class AsyncWriter:
+    """Run deferred logging work on a background thread.
+
+    On the remote-execution tunnel every device-array -> float conversion
+    pays an RTT, and TB/JSONL writes are host I/O; doing either on the
+    dispatch thread stalls the step pipeline (docs/PERF.md: the last ~4%
+    do_train-vs-bench gap).  `submit(fn)` enqueues a zero-arg callable
+    executed IN ORDER on a daemon thread — closures capture completed
+    device arrays and convert there.  `add_scalar` forwards to the wrapped
+    writer asynchronously, so this can wrap TeeWriter/MetricsLogger/TB.
+
+    Worker exceptions are captured and re-raised on the caller's next
+    flush()/close() so logging bugs aren't silently swallowed.
+    """
+
+    def __init__(self, inner=None, maxsize: int = 1024):
+        import queue
+        import threading
+
+        self.inner = inner
+        self._q = queue.Queue(maxsize)
+        self._exc = None
+        self._t = threading.Thread(
+            target=self._run, daemon=True, name="demo2-async-writer"
+        )
+        self._t.start()
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            try:
+                if item is None:
+                    return
+                item()
+            except Exception as e:  # noqa: BLE001 — surfaced on flush/close
+                self._exc = e
+            finally:
+                self._q.task_done()
+
+    def _check(self):
+        if self._exc is not None:
+            exc, self._exc = self._exc, None
+            raise exc
+
+    def submit(self, fn):
+        self._q.put(fn)
+
+    def add_scalar(self, tag, value, step):
+        if self.inner is not None:
+            self._q.put(lambda: self.inner.add_scalar(tag, float(value), int(step)))
+
+    def flush(self):
+        self._q.join()
+        self._check()
+
+    def close(self):
+        self._q.put(None)
+        self._t.join()
+        self._check()
+        if self.inner is not None:
+            close = getattr(self.inner, "close", None)
+            if close:
+                close()
+
+
 class TeeWriter:
     """Fan out add_scalar to several writers (JSONL + TensorBoard)."""
 

@@ -32,3 +32,39 @@ def test_tee_writer(tmp_path):
     tee.add_scalar("x", 1.0, 0)
     tee.close()
     assert len(load_metrics(str(p))) == 1
+
+
+def test_async_writer_orders_and_forwards(tmp_path):
+    """AsyncWriter: scalars and submitted closures execute in order on the
+    worker thread; device-array values convert there; close() drains."""
+    import jax.numpy as jnp
+
+    from demo2_tpu.utils.metrics_log import AsyncWriter, MetricsLogger
+
+    path = str(tmp_path / "m.jsonl")
+    seen = []
+    w = AsyncWriter(MetricsLogger(path))
+    for i in range(5):
+        w.add_scalar("Train/Loss", jnp.float32(i) * 0.5, i)
+        w.submit(lambda i=i: seen.append(i))
+    w.flush()
+    assert seen == [0, 1, 2, 3, 4]
+    w.close()
+
+    from demo2_tpu.utils.metrics_log import load_metrics
+
+    rows = load_metrics(path)
+    assert [r["value"] for r in rows] == [0.0, 0.5, 1.0, 1.5, 2.0]
+    assert [r["step"] for r in rows] == [0, 1, 2, 3, 4]
+
+
+def test_async_writer_surfaces_worker_exceptions():
+    import pytest
+
+    from demo2_tpu.utils.metrics_log import AsyncWriter
+
+    w = AsyncWriter()
+    w.submit(lambda: 1 / 0)
+    with pytest.raises(ZeroDivisionError):
+        w.flush()
+    w.close()

@@ -72,6 +72,8 @@ class PIFE(nn.Module):
             # it builds the plain `Trans` ViT at width 384
             # (vit_pytorch.py:524-535) and is absent from the factory map.
             return 384 if self.width_override < 0 else self.width_override
+        if self.transformer_type.startswith("resnet"):
+            return 2048  # 512 * Bottleneck.expansion (resnet.py:192)
         return 768 if self.width_override < 0 else self.width_override
 
     @property
@@ -84,6 +86,9 @@ class PIFE(nn.Module):
         if self.transformer_type.startswith("t2t"):
             # Three soft splits with strides 4*2*2 = 16 (t2t.py:89-90).
             return self.img_size[0] // 16, self.img_size[1] // 16
+        if self.transformer_type.startswith("resnet"):
+            # stem+maxpool+layer2/3 strides = 16; layer4 keeps last_stride=1.
+            return -(-self.img_size[0] // 16), -(-self.img_size[1] // 16)
         num_y = (self.img_size[0] - 16) // self.stride_size[0] + 1
         num_x = (self.img_size[1] - 16) // self.stride_size[1] + 1
         return num_y, num_x
@@ -149,6 +154,26 @@ class PIFE(nn.Module):
                 int8_mlp=self.int8_mlp,
                 name="base",
             )(x, cv_emb, deterministic)
+        elif self.transformer_type.startswith("resnet"):
+            # CNN path (the zoo's flagship; no SIE — the reference CNNs have
+            # none).  Tokens = GAP global + flattened 16-stride map, so every
+            # fusion module downstream works on CNN features unchanged.
+            from .resnet import RESNET_CONFIGS, ResNet, resnet_tokens
+
+            if self.transformer_type not in RESNET_CONFIGS:
+                raise NotImplementedError(
+                    f"'{self.transformer_type}': only the Bottleneck variants "
+                    f"{sorted(RESNET_CONFIGS)} are ported (resnet18/34 use "
+                    "BasicBlock and, like the rest of the CNN zoo, are dead "
+                    "weight no reference code path can reach)"
+                )
+            fmap = ResNet(
+                layers=RESNET_CONFIGS[self.transformer_type],
+                dtype=self.dtype,
+                name="base",
+            )(x, train=not deterministic)
+            g, t = resnet_tokens(fmap)
+            tokens = jnp.concatenate([g[:, None, :], t], axis=1)
         elif self.transformer_type in ("t2t_vit_t_14", "t2t_vit_t_24"):
             # T2T hooks: registered-but-unrunnable in the reference
             # (meta_arch.py never constructs them); a working backbone here.

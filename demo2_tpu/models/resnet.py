@@ -1,0 +1,127 @@
+"""ResNet backbone (the CNN zoo's flagship member), TPU-native.
+
+Reference: modeling/backbones/basic_cnn_params/resnet.py:157-372 —
+torchvision-style ResNet with the Re-ID ``last_stride`` knob (layer4 stride
+1 keeps a 16x8 map at 256x128).  The zoo (8.6k LoC: senet/osnet/nasnet/...)
+is dead weight — no reference code path can construct ANY CNN backbone
+(meta_arch.py:51-87 only builds ViT/CLIP; the zoo's only reachable symbol
+is the fvcore op table, covered by utils/profiling.py).  The flagship
+ResNet-50 is ported so the framework has a working CNN path; the rest of
+the zoo stays a documented drop (SURVEY §2.4).
+
+TPU notes: NHWC layout end-to-end (XLA's native conv layout on TPU — the
+reference's NCHW would force transposes around every conv); BatchNorm
+statistics live in the standard flax `batch_stats` collection like the
+BNNeck heads, so the data-parallel train step's global-batch reduction
+semantics apply unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class _ConvBN(nn.Module):
+    features: int
+    kernel: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        pad = (self.kernel - 1) // 2
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=((pad, pad), (pad, pad)),
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="bn",
+        )(x)
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3(stride) -> 1x1(x4) with projection shortcut
+    (resnet.py:105-155)."""
+
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        identity = x
+        y = nn.relu(_ConvBN(self.planes, 1, dtype=self.dtype, name="cb1")(x, train))
+        y = nn.relu(
+            _ConvBN(self.planes, 3, self.stride, dtype=self.dtype, name="cb2")(
+                y, train
+            )
+        )
+        y = _ConvBN(self.planes * 4, 1, dtype=self.dtype, name="cb3")(y, train)
+        if self.downsample:
+            identity = _ConvBN(
+                self.planes * 4, 1, self.stride, dtype=self.dtype, name="down"
+            )(x, train)
+        return nn.relu(y + identity)
+
+
+class ResNet(nn.Module):
+    """ResNet trunk returning the layer4 feature map (B, H', W', 2048)
+    (resnet.py ``featuremaps``, :343-353)."""
+
+    layers: Sequence[int] = (3, 4, 6, 3)  # resnet50 (:425-433)
+    last_stride: int = 1  # Re-ID convention: keep the 16-stride map
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = _ConvBN(64, 7, 2, dtype=self.dtype, name="stem")(x.astype(self.dtype), train)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        strides = (1, 2, 2, self.last_stride)
+        for i, (n, s) in enumerate(zip(self.layers, strides)):
+            planes = 64 * 2**i
+            for j in range(n):
+                x = Bottleneck(
+                    planes,
+                    stride=s if j == 0 else 1,
+                    downsample=j == 0,
+                    dtype=self.dtype,
+                    name=f"layer{i + 1}_{j}",
+                )(x, train)
+        return x
+
+
+RESNET_CONFIGS = {
+    "resnet50": (3, 4, 6, 3),
+    "resnet101": (3, 4, 23, 3),
+    "resnet152": (3, 8, 36, 3),
+}
+
+
+def resnet_tokens(
+    feature_map: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(B, H, W, C) map -> (global GAP (B, C), tokens (B, H*W, C)).
+
+    The CNN analogue of the ViT CLS/patch split used by PIFE: global = the
+    reference's AdaptiveAvgPool2d (resnet.py:355-357); tokens = the
+    flattened spatial map, so the fusion modules (SDTPS/DGAF/SACR/...)
+    operate on CNN features unchanged.
+    """
+    b, h, w, c = feature_map.shape
+    return jnp.mean(feature_map, axis=(1, 2)), feature_map.reshape(b, h * w, c)

@@ -53,6 +53,8 @@ def main():
                     help="config override for experiments, e.g. "
                          "--set TPU.INT8_MLP=dynamic (driver runs use none)")
     ap.add_argument("--epochs", type=int, default=0)
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="steps per scan dispatch (default min(10, steps/epoch))")
     args = ap.parse_args()
     from demo2_tpu.data import make_dataloader
     from demo2_tpu.data.device_cache import build_device_cache
@@ -146,7 +148,7 @@ def main():
     # one readback per epoch.  Epoch tails (< K steps) are dropped from the
     # benchmark loop only (do_train runs them via the per-step fn).
     steps_per_epoch = max(1, len(sampler.epoch_indices(1)) // batch_size)
-    K = max(1, min(10, steps_per_epoch))
+    K = args.chunk if args.chunk > 0 else max(1, min(10, steps_per_epoch))
     step_k = build_train_step(cfg, model, tx, center_tx, mesh, donate=True,
                               scan_steps=K, device_cache=cache)
 

@@ -60,6 +60,13 @@ def main():
     cfg.TEST.FEAT = args.fea_cft  # reference: train_net.py:49
     cfg.freeze()
 
+    if cfg.MODEL.DEVICE == "cpu":
+        # Make the reference's MODEL.DEVICE knob functional: this box's
+        # site bootstrap pins JAX_PLATFORMS=axon before user env is read,
+        # so CPU smoke runs must switch the platform here, before any
+        # backend is touched (same pattern as tests/conftest.py).
+        jax.config.update("jax_platforms", "cpu")
+
     set_seed(cfg.SOLVER.SEED)
     output_dir = cfg.OUTPUT_DIR
     os.makedirs(output_dir, exist_ok=True)

@@ -167,8 +167,10 @@ class PIFE(nn.Module):
                     "BasicBlock and, like the rest of the CNN zoo, are dead "
                     "weight no reference code path can reach)"
                 )
+            layers, ibn = RESNET_CONFIGS[self.transformer_type]
             fmap = ResNet(
-                layers=RESNET_CONFIGS[self.transformer_type],
+                layers=layers,
+                ibn=ibn,
                 dtype=self.dtype,
                 name="base",
             )(x, train=not deterministic)

@@ -20,14 +20,34 @@ from __future__ import annotations
 
 from typing import Any, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+
+class InstanceNorm(nn.Module):
+    """Affine InstanceNorm2d twin (per-sample per-channel stats over H, W;
+    torch default track_running_stats=False — batch statistics at eval too,
+    resnet_ibn_a.py:70)."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B, H, W, C)
+        c = x.shape[-1]
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=(1, 2), keepdims=True)
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        y = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+        return y * scale.astype(y.dtype) + bias.astype(y.dtype)
 
 
 class _ConvBN(nn.Module):
     features: int
     kernel: int
     stride: int = 1
+    # "bn" | "ibn": IBN-a splits the channels, InstanceNorm on the first
+    # half + BatchNorm on the rest (IBN, resnet_ibn_a.py:63-79).
+    norm: str = "bn"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -43,29 +63,43 @@ class _ConvBN(nn.Module):
             param_dtype=jnp.float32,
             name="conv",
         )(x)
-        return nn.BatchNorm(
+        bn = lambda name: nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
             dtype=self.dtype,
             param_dtype=jnp.float32,
-            name="bn",
-        )(x)
+            name=name,
+        )
+        if self.norm == "ibn":
+            half = self.features // 2
+            return jnp.concatenate(
+                [InstanceNorm(name="in")(x[..., :half]), bn("bn")(x[..., half:])],
+                axis=-1,
+            )
+        return bn("bn")(x)
 
 
 class Bottleneck(nn.Module):
     """1x1 -> 3x3(stride) -> 1x1(x4) with projection shortcut
-    (resnet.py:105-155)."""
+    (resnet.py:105-155); ``ibn`` swaps bn1 for the IBN-a split norm
+    (resnet_ibn_a.py:84-90)."""
 
     planes: int
     stride: int = 1
     downsample: bool = False
+    ibn: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
         identity = x
-        y = nn.relu(_ConvBN(self.planes, 1, dtype=self.dtype, name="cb1")(x, train))
+        y = nn.relu(
+            _ConvBN(
+                self.planes, 1, norm="ibn" if self.ibn else "bn",
+                dtype=self.dtype, name="cb1",
+            )(x, train)
+        )
         y = nn.relu(
             _ConvBN(self.planes, 3, self.stride, dtype=self.dtype, name="cb2")(
                 y, train
@@ -85,6 +119,9 @@ class ResNet(nn.Module):
 
     layers: Sequence[int] = (3, 4, 6, 3)  # resnet50 (:425-433)
     last_stride: int = 1  # Re-ID convention: keep the 16-stride map
+    # IBN-a: bn1 of every block in layers 1-3 is the split IN/BN norm;
+    # layer4 (planes 512) stays plain BN (resnet_ibn_a.py:198-200).
+    ibn: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -100,16 +137,21 @@ class ResNet(nn.Module):
                     planes,
                     stride=s if j == 0 else 1,
                     downsample=j == 0,
+                    ibn=self.ibn and planes != 512,
                     dtype=self.dtype,
                     name=f"layer{i + 1}_{j}",
                 )(x, train)
         return x
 
 
+# name -> (layers, ibn)
 RESNET_CONFIGS = {
-    "resnet50": (3, 4, 6, 3),
-    "resnet101": (3, 4, 23, 3),
-    "resnet152": (3, 8, 36, 3),
+    "resnet50": ((3, 4, 6, 3), False),
+    "resnet101": ((3, 4, 23, 3), False),
+    "resnet152": ((3, 8, 36, 3), False),
+    # IBN-Net variant (resnet_ibn_a.py: resnet50_ibn_a), the standard
+    # generalization-oriented Re-ID CNN.
+    "resnet50_ibn_a": ((3, 4, 6, 3), True),
 }
 
 

@@ -97,3 +97,87 @@ def test_resnet_backbone_in_full_assembly():
     out = model.apply(vars_, imgs, cams, views, train=False)
     assert out["embedding"].shape == (2, 3 * 2048)
     assert np.isfinite(np.asarray(out["embedding"])).all()
+
+
+@pytest.mark.slow
+def test_resnet50_ibn_a_featuremap_parity():
+    """IBN-a variant vs the direct-imported reference resnet_ibn_a module
+    (split InstanceNorm/BatchNorm bn1 in layers 1-3; the reference hardcodes
+    layer4 stride 2, mirrored here with last_stride=2)."""
+    ref_mod = load_ref("modeling.backbones.basic_cnn_params.resnet_ibn_a")
+    torch.manual_seed(0)
+    ref = ref_mod.ResNet(
+        num_classes=10, loss="softmax", block=ref_mod.Bottleneck,
+        layers=[3, 4, 6, 3], scale=64, fc_dims=None,
+    ).eval()
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.5, 1.5)
+            if isinstance(m, torch.nn.InstanceNorm2d):
+                m.weight.uniform_(0.5, 1.5)
+                m.bias.uniform_(-0.2, 0.2)
+
+    model = ResNet(layers=(3, 4, 6, 3), last_stride=2, ibn=True)
+    x = np.random.RandomState(2).rand(1, 64, 32, 3).astype(np.float32)
+    vars_ = model.init({"params": RNG}, jnp.asarray(x), train=False)
+    P = jax.tree_util.tree_map(np.array, dict(vars_["params"]))
+    S = jax.tree_util.tree_map(np.array, dict(vars_["batch_stats"]))
+
+    def copy_cb1(d, s, block):
+        d["conv"]["kernel"] = block.conv1.weight.detach().numpy().transpose(2, 3, 1, 0)
+        if hasattr(block.bn1, "IN"):  # IBN split
+            d["in"]["scale"] = block.bn1.IN.weight.detach().numpy()
+            d["in"]["bias"] = block.bn1.IN.bias.detach().numpy()
+            d["bn"]["scale"] = block.bn1.BN.weight.detach().numpy()
+            d["bn"]["bias"] = block.bn1.BN.bias.detach().numpy()
+            s["bn"]["mean"] = block.bn1.BN.running_mean.numpy()
+            s["bn"]["var"] = block.bn1.BN.running_var.numpy()
+        else:
+            d["bn"]["scale"] = block.bn1.weight.detach().numpy()
+            d["bn"]["bias"] = block.bn1.bias.detach().numpy()
+            s["bn"]["mean"] = block.bn1.running_mean.numpy()
+            s["bn"]["var"] = block.bn1.running_var.numpy()
+
+    _copy_convbn(P["stem"], ref.conv1, ref.bn1, S["stem"])
+    for li, layer in enumerate([ref.layer1, ref.layer2, ref.layer3, ref.layer4]):
+        for bi, block in enumerate(layer):
+            d, s = P[f"layer{li + 1}_{bi}"], S[f"layer{li + 1}_{bi}"]
+            copy_cb1(d["cb1"], s["cb1"], block)
+            _copy_convbn(d["cb2"], block.conv2, block.bn2, s["cb2"])
+            _copy_convbn(d["cb3"], block.conv3, block.bn3, s["cb3"])
+            if block.downsample is not None:
+                _copy_convbn(
+                    d["down"], block.downsample[0], block.downsample[1], s["down"]
+                )
+
+    with torch.no_grad():
+        want = ref.featuremaps(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    got = np.asarray(
+        model.apply({"params": P, "batch_stats": S}, jnp.asarray(x), train=False)
+    ).transpose(0, 3, 1, 2)
+    assert got.shape == want.shape == (1, 2048, 2, 1)  # last_stride=2: /32
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_resnet_ibn_in_full_assembly():
+    from demo2_tpu.config import get_cfg_defaults
+    from demo2_tpu.models import make_model
+
+    cfg = get_cfg_defaults()
+    cfg.MODEL.TRANSFORMER_TYPE = "resnet50_ibn_a"
+    cfg.INPUT.SIZE_TRAIN = (64, 32)
+    cfg.INPUT.SIZE_TEST = (64, 32)
+    cfg.freeze()
+    model = make_model(cfg, num_class=4, camera_num=2)
+    imgs = jnp.zeros((2, 3, 64, 32, 3))
+    cams = jnp.zeros((2,), jnp.int32)
+    views = jnp.zeros((2,), jnp.int32)
+    vars_ = model.init(
+        {"params": RNG, "dropout": RNG, "gumbel": RNG}, imgs, cams, views,
+        train=False,
+    )
+    out = model.apply(vars_, imgs, cams, views, train=False)
+    assert out["embedding"].shape == (2, 3 * 2048)
+    assert np.isfinite(np.asarray(out["embedding"])).all()

@@ -74,6 +74,10 @@ class PIFE(nn.Module):
             return 384 if self.width_override < 0 else self.width_override
         if self.transformer_type.startswith("resnet"):
             return 2048  # 512 * Bottleneck.expansion (resnet.py:192)
+        if self.transformer_type.startswith("osnet"):
+            from .osnet import OSNET_CONFIGS
+
+            return OSNET_CONFIGS[self.transformer_type][1][3]
         return 768 if self.width_override < 0 else self.width_override
 
     @property
@@ -86,8 +90,9 @@ class PIFE(nn.Module):
         if self.transformer_type.startswith("t2t"):
             # Three soft splits with strides 4*2*2 = 16 (t2t.py:89-90).
             return self.img_size[0] // 16, self.img_size[1] // 16
-        if self.transformer_type.startswith("resnet"):
-            # stem+maxpool+layer2/3 strides = 16; layer4 keeps last_stride=1.
+        if self.transformer_type.startswith(("resnet", "osnet")):
+            # Both CNN trunks are 16-stride (resnet: stem+maxpool+layer2/3,
+            # last_stride=1; osnet: conv1+maxpool+two transitions).
             return -(-self.img_size[0] // 16), -(-self.img_size[1] // 16)
         num_y = (self.img_size[0] - 16) // self.stride_size[0] + 1
         num_x = (self.img_size[1] - 16) // self.stride_size[1] + 1
@@ -173,6 +178,21 @@ class PIFE(nn.Module):
                 ibn=ibn,
                 dtype=self.dtype,
                 name="base",
+            )(x, train=not deterministic)
+            g, t = resnet_tokens(fmap)
+            tokens = jnp.concatenate([g[:, None, :], t], axis=1)
+        elif self.transformer_type.startswith("osnet"):
+            from .osnet import OSNET_CONFIGS, OSNet
+            from .resnet import resnet_tokens
+
+            if self.transformer_type not in OSNET_CONFIGS:
+                raise NotImplementedError(
+                    f"'{self.transformer_type}': ported widths are "
+                    f"{sorted(OSNET_CONFIGS)}"
+                )
+            layers, chans = OSNET_CONFIGS[self.transformer_type]
+            fmap = OSNet(
+                layers=layers, channels=chans, dtype=self.dtype, name="base"
             )(x, train=not deterministic)
             g, t = resnet_tokens(fmap)
             tokens = jnp.concatenate([g[:, None, :], t], axis=1)

@@ -188,6 +188,13 @@ class DataloaderConfig:
     NUM_WORKERS: int = 4
     SAMPLER: str = "softmax_triplet"
     NUM_INSTANCE: int = 16
+    # Native C++ JPEG decode/resize (native/dataloader.cpp).  "auto" uses it
+    # whenever libd2tloader is built and all samples are on-disk JPEGs; "off"
+    # forces the PIL/torchvision-exact path (the native bilinear resize is a
+    # triangle-filter approximation, ~2/255 per pass — users chasing
+    # bit-level eval parity with the reference transform set "off"); "on"
+    # errors if the library is unavailable.
+    NATIVE_DECODE: str = "auto"
 
 
 @_node
@@ -280,6 +287,11 @@ class TPUConfig:
     # TPU-first path that decouples throughput from host decode (this host
     # has ONE core and tops out at ~108 samples/s of JPEG decode).
     DATA_CACHE: str = "host"
+    # Chunked-scan dispatch: augment batch k+1 inside iteration k so the
+    # VPU-bound augment can overlap the MXU-bound model step (bit-identical
+    # trajectory; engine/train.py).  Off = augment serially in front of each
+    # step (the round-3 layout) — kept for A/B measurement.
+    PIPELINED_AUGMENT: bool = True
 
 
 @_node

@@ -302,9 +302,15 @@ class SyntheticTriModal(BaseDataset):
         image_size: Tuple[int, int] = (64, 32),
         seed: int = 0,
         hard: bool = False,
+        id_weight: float = 0.35,
     ):
         self.image_size = image_size
         self.hard = hard
+        # Identity-signal weight of the hard recipe (the palette term below);
+        # lowering it makes identities harder to separate — the knob the
+        # full-width hardware quality gate uses to keep mAP off 100%
+        # (tools/quality_gate.py).
+        self.id_weight = float(id_weight)
         rng = np.random.default_rng(seed)
         self._palettes = rng.uniform(0.1, 0.9, size=(num_pids, 3, 3))  # pid, modality, rgb
         if hard:
@@ -346,7 +352,7 @@ class SyntheticTriModal(BaseDataset):
                 stripe = ((yy // 4) % 2).astype(np.float32)[..., None]
                 jitter = rng.uniform(-0.18, 0.18)
                 img = (
-                    0.35 * base
+                    self.id_weight * base
                     + 0.15 * stripe
                     + 0.5 * rng.uniform(0, 1, (h, w, 3))
                     + jitter

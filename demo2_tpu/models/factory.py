@@ -7,6 +7,16 @@ from .demo import DeMo, DeMoLegacy, DeMoParallel
 
 
 def make_model(cfg: Config, num_class: int, camera_num: int, view_num: int = 0):
+    if getattr(cfg.TPU, "INT8_MLP", "off") == "static":
+        # The static activation scale is a rough 10/127 calibration estimate
+        # (clip_vit.py) — perf-measurement only; activations beyond |10| clip
+        # silently.  Quality runs use "dynamic" (per-tensor) or "off".
+        import logging
+
+        logging.getLogger("DeMo").warning(
+            "TPU.INT8_MLP='static' uses an UNCALIBRATED activation scale — "
+            "benchmark-only; use 'dynamic' (or 'off') for quality runs"
+        )
     arch = cfg.MODEL.ARCH
     if arch == "DeMo_Parallel":
         return DeMoParallel(cfg, num_class, camera_num, view_num)

@@ -117,6 +117,10 @@ class OSBlock(nn.Module):
 
     features: int
     use_in: bool = False
+    # AIN flavor (OSBlockINin, osnet_ain.py:271-304): conv3 drops its BN and
+    # an affine IN is applied to x3 INSIDE the residual (before the add) —
+    # vs use_in's post-add IN of the osnet_ibn flavor.
+    ain: bool = False
     reduction: int = 4
     dtype: Any = jnp.float32
 
@@ -135,9 +139,16 @@ class OSBlock(nn.Module):
                 )(y, train)
             streams.append(gate(y))
         x2 = sum(streams)
-        x3 = _ConvBNRelu(
-            self.features, 1, relu=False, dtype=self.dtype, name="conv3"
-        )(x2, train)
+        if self.ain:
+            x3 = nn.Conv(
+                self.features, (1, 1), use_bias=False, dtype=self.dtype,
+                param_dtype=jnp.float32, name="conv3",
+            )(x2)
+            x3 = InstanceNorm(name="in3")(x3)
+        else:
+            x3 = _ConvBNRelu(
+                self.features, 1, relu=False, dtype=self.dtype, name="conv3"
+            )(x2, train)
         if identity.shape[-1] != self.features:
             identity = _ConvBNRelu(
                 self.features, 1, relu=False, dtype=self.dtype, name="downsample"
@@ -148,12 +159,19 @@ class OSBlock(nn.Module):
         return nn.relu(out)
 
 
-# name -> (layers per stage, stage channels); osnet.py:522-581.
+# name -> (layers per stage, stage channels); osnet.py:522-581,
+# osnet_ain.py:532-608.
 OSNET_CONFIGS = {
     "osnet_x1_0": ((2, 2, 2), (64, 256, 384, 512)),
     "osnet_x0_5": ((2, 2, 2), (32, 128, 192, 256)),
     "osnet_x0_25": ((2, 2, 2), (16, 64, 96, 128)),
+    "osnet_ain_x1_0": ((2, 2, 2), (64, 256, 384, 512)),
+    "osnet_ain_x0_5": ((2, 2, 2), (32, 128, 192, 256)),
 }
+
+# osnet_ain block pattern (osnet_ain.py:536-544): per stage, per block —
+# OSBlockINin/OSBlock mix, plus conv1_IN=True.
+OSNET_AIN_VARIANTS = (("ain", "ain"), ("plain", "ain"), ("ain", "plain"))
 
 
 class OSNet(nn.Module):
@@ -163,20 +181,30 @@ class OSNet(nn.Module):
     layers: Sequence[int] = (2, 2, 2)
     channels: Sequence[int] = (64, 256, 384, 512)
     use_in: bool = False  # osnet_ibn variant: IN in conv1 + stage 2
+    # osnet_ain (osnet_ain.py:309-449): conv1 IN + a per-(stage, block)
+    # plain/ain pattern (OSNET_AIN_VARIANTS); None = all plain.
+    block_variants: Any = None
+    conv1_in: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         ch = self.channels
         x = _ConvBNRelu(
-            ch[0], 7, 2, use_in=self.use_in, dtype=self.dtype, name="conv1"
+            ch[0], 7, 2, use_in=self.use_in or self.conv1_in,
+            dtype=self.dtype, name="conv1",
         )(x.astype(self.dtype), train)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         for stage in range(3):
             for j in range(self.layers[stage]):
+                variant = (
+                    self.block_variants[stage][j]
+                    if self.block_variants is not None else "plain"
+                )
                 x = OSBlock(
                     ch[stage + 1],
                     use_in=self.use_in and stage == 0,
+                    ain=variant == "ain",
                     dtype=self.dtype,
                     name=f"conv{stage + 2}_{j}",
                 )(x, train)

@@ -182,7 +182,7 @@ class PIFE(nn.Module):
             g, t = resnet_tokens(fmap)
             tokens = jnp.concatenate([g[:, None, :], t], axis=1)
         elif self.transformer_type.startswith("osnet"):
-            from .osnet import OSNET_CONFIGS, OSNet
+            from .osnet import OSNET_AIN_VARIANTS, OSNET_CONFIGS, OSNet
             from .resnet import resnet_tokens
 
             if self.transformer_type not in OSNET_CONFIGS:
@@ -191,8 +191,11 @@ class PIFE(nn.Module):
                     f"{sorted(OSNET_CONFIGS)}"
                 )
             layers, chans = OSNET_CONFIGS[self.transformer_type]
+            ain = self.transformer_type.startswith("osnet_ain")
             fmap = OSNet(
-                layers=layers, channels=chans, dtype=self.dtype, name="base"
+                layers=layers, channels=chans,
+                block_variants=OSNET_AIN_VARIANTS if ain else None,
+                conv1_in=ain, dtype=self.dtype, name="base",
             )(x, train=not deterministic)
             g, t = resnet_tokens(fmap)
             tokens = jnp.concatenate([g[:, None, :], t], axis=1)

@@ -71,6 +71,8 @@ class _ConvBN(nn.Module):
             param_dtype=jnp.float32,
             name=name,
         )
+        if self.norm == "in":  # IBN-b stem (resnet_ibn_b.py:142)
+            return InstanceNorm(name="in")(x)
         if self.norm == "ibn":
             half = self.features // 2
             return jnp.concatenate(
@@ -89,6 +91,9 @@ class Bottleneck(nn.Module):
     stride: int = 1
     downsample: bool = False
     ibn: bool = False
+    # IBN-b: affine IN applied AFTER the residual add, before the final relu
+    # (resnet_ibn_b.py:105-108; only the last block of layers 1-2 gets it).
+    ibn_b: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -110,7 +115,10 @@ class Bottleneck(nn.Module):
             identity = _ConvBN(
                 self.planes * 4, 1, self.stride, dtype=self.dtype, name="down"
             )(x, train)
-        return nn.relu(y + identity)
+        out = y + identity
+        if self.ibn_b:
+            out = InstanceNorm(name="in_out")(out)
+        return nn.relu(out)
 
 
 class ResNet(nn.Module):
@@ -119,14 +127,21 @@ class ResNet(nn.Module):
 
     layers: Sequence[int] = (3, 4, 6, 3)  # resnet50 (:425-433)
     last_stride: int = 1  # Re-ID convention: keep the 16-stride map
-    # IBN-a: bn1 of every block in layers 1-3 is the split IN/BN norm;
-    # layer4 (planes 512) stays plain BN (resnet_ibn_a.py:198-200).
-    ibn: bool = False
+    # IBN mode: False/"none" = plain; True/"a" = IBN-a (bn1 of every block in
+    # layers 1-3 is the split IN/BN norm, layer4 stays plain BN,
+    # resnet_ibn_a.py:198-200); "b" = IBN-b (affine-IN stem + affine IN after
+    # the residual add in the LAST block of layers 1-2, resnet_ibn_b.py:
+    # 142,145-150,185-191).
+    ibn: Any = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = _ConvBN(64, 7, 2, dtype=self.dtype, name="stem")(x.astype(self.dtype), train)
+        mode = {True: "a", False: "none"}.get(self.ibn, self.ibn)
+        x = _ConvBN(
+            64, 7, 2, norm="in" if mode == "b" else "bn",
+            dtype=self.dtype, name="stem",
+        )(x.astype(self.dtype), train)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         strides = (1, 2, 2, self.last_stride)
@@ -137,21 +152,23 @@ class ResNet(nn.Module):
                     planes,
                     stride=s if j == 0 else 1,
                     downsample=j == 0,
-                    ibn=self.ibn and planes != 512,
+                    ibn=mode == "a" and planes != 512,
+                    ibn_b=mode == "b" and i < 2 and j == n - 1,
                     dtype=self.dtype,
                     name=f"layer{i + 1}_{j}",
                 )(x, train)
         return x
 
 
-# name -> (layers, ibn)
+# name -> (layers, ibn mode)
 RESNET_CONFIGS = {
     "resnet50": ((3, 4, 6, 3), False),
     "resnet101": ((3, 4, 23, 3), False),
     "resnet152": ((3, 8, 36, 3), False),
-    # IBN-Net variant (resnet_ibn_a.py: resnet50_ibn_a), the standard
-    # generalization-oriented Re-ID CNN.
-    "resnet50_ibn_a": ((3, 4, 6, 3), True),
+    # IBN-Net variants (resnet_ibn_a.py / resnet_ibn_b.py), the standard
+    # generalization-oriented Re-ID CNNs.
+    "resnet50_ibn_a": ((3, 4, 6, 3), "a"),
+    "resnet50_ibn_b": ((3, 4, 6, 3), "b"),
 }
 
 

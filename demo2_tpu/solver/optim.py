@@ -98,9 +98,10 @@ def timm_cosine_lr(
     warmup_prefix=False; noise: solver/scheduler.py:87-105, normal type with
     the resample-within-pct loop on a per-t seeded generator).
 
-    The noise branch needs torch bit-parity (torch.Generator + randn), so
-    torch is imported lazily there only — the package stays torch-free on
-    every default path (same convention as utils/converters.py).
+    The noise branch prefers torch (bit-parity with the reference's timm
+    generator, golden-tested) but falls back to a numpy N(0,1) draw when
+    torch is absent — the package stays torch-free on every path (same
+    convention as utils/converters.py).
     """
 
     def lr_at(t: int) -> float:
@@ -117,12 +118,30 @@ def timm_cosine_lr(
             else:
                 lr = lr_min
         if noise_range_t is not None and noise_range_t[0] <= t < noise_range_t[1]:
-            import torch  # lazy: only the dormant noisy-cosine path needs it
+            try:
+                # torch.Generator+randn for bit-parity with the reference's
+                # timm scheduler when torch is present (golden-tested).
+                import torch
 
-            g = torch.Generator()
-            g.manual_seed(noise_seed + t)
+                g = torch.Generator()
+                g.manual_seed(noise_seed + t)
+
+                def draw():
+                    return torch.randn(1, generator=g).item()
+            except ImportError:
+                # Torch-free deployments: same per-t-seeded N(0,1) +
+                # rejection loop via numpy.  The noise VALUES differ from
+                # torch's (different bit stream) — it's a stochastic LR
+                # perturbation knob, not a reproducibility surface.
+                import numpy as _np
+
+                g = _np.random.default_rng(noise_seed + t)
+
+                def draw():
+                    return float(g.standard_normal())
+
             while True:
-                noise = torch.randn(1, generator=g).item()
+                noise = draw()
                 if abs(noise) < noise_pct:
                     break
             lr = lr + lr * noise

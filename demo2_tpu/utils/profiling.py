@@ -35,8 +35,12 @@ def model_flops(model, variables, images, cams, train: bool = False) -> Dict[str
 
     lowered = jax.jit(fwd).lower(variables, images, cams)
     cost = lowered.cost_analysis()
-    if isinstance(cost, list):
+    if isinstance(cost, list) and cost:
         cost = cost[0]
+    if not isinstance(cost, dict):
+        # The remote axon backend returns None here (round-3 train logs:
+        # "FLOP count unavailable") — report zeros instead of raising.
+        return {"flops": 0.0, "bytes_accessed": 0.0}
     return {
         "flops": cost.get("flops", 0.0),
         "bytes_accessed": cost.get("bytes accessed", 0.0),

@@ -161,6 +161,61 @@ def test_resnet50_ibn_a_featuremap_parity():
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
+def test_resnet50_ibn_b_featuremap_parity():
+    """IBN-b variant vs the direct-imported reference resnet_ibn_b module:
+    affine-IN stem (resnet_ibn_b.py:142) + affine IN after the residual add
+    in the LAST block of layers 1-2 (:185-191, :105-108); layer4 stride 2."""
+    ref_mod = load_ref("modeling.backbones.basic_cnn_params.resnet_ibn_b")
+    torch.manual_seed(0)
+    ref = ref_mod.ResNet(
+        block=ref_mod.Bottleneck, layers=[3, 4, 6, 3], num_classes=10,
+        loss="softmax", fc_dims=None,
+    ).eval()
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.5, 1.5)
+            if isinstance(m, torch.nn.InstanceNorm2d):
+                m.weight.uniform_(0.5, 1.5)
+                m.bias.uniform_(-0.2, 0.2)
+
+    model = ResNet(layers=(3, 4, 6, 3), last_stride=2, ibn="b")
+    x = np.random.RandomState(4).rand(1, 64, 32, 3).astype(np.float32)
+    vars_ = model.init({"params": RNG}, jnp.asarray(x), train=False)
+    P = jax.tree_util.tree_map(np.array, dict(vars_["params"]))
+    S = jax.tree_util.tree_map(np.array, dict(vars_["batch_stats"]))
+
+    # Stem: conv + affine InstanceNorm (no running stats).
+    P["stem"]["conv"]["kernel"] = (
+        ref.conv1.weight.detach().numpy().transpose(2, 3, 1, 0)
+    )
+    P["stem"]["in"]["scale"] = ref.bn1.weight.detach().numpy()
+    P["stem"]["in"]["bias"] = ref.bn1.bias.detach().numpy()
+    for li, layer in enumerate([ref.layer1, ref.layer2, ref.layer3, ref.layer4]):
+        for bi, block in enumerate(layer):
+            d, s = P[f"layer{li + 1}_{bi}"], S[f"layer{li + 1}_{bi}"]
+            _copy_convbn(d["cb1"], block.conv1, block.bn1, s["cb1"])
+            _copy_convbn(d["cb2"], block.conv2, block.bn2, s["cb2"])
+            _copy_convbn(d["cb3"], block.conv3, block.bn3, s["cb3"])
+            if block.downsample is not None:
+                _copy_convbn(
+                    d["down"], block.downsample[0], block.downsample[1], s["down"]
+                )
+            if block.IN is not None:  # post-add IN on the layer's last block
+                d["in_out"]["scale"] = block.IN.weight.detach().numpy()
+                d["in_out"]["bias"] = block.IN.bias.detach().numpy()
+
+    with torch.no_grad():
+        want = ref.featuremaps(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    got = np.asarray(
+        model.apply({"params": P, "batch_stats": S}, jnp.asarray(x), train=False)
+    ).transpose(0, 3, 1, 2)
+    assert got.shape == want.shape == (1, 2048, 2, 1)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
 def test_resnet_ibn_in_full_assembly():
     from demo2_tpu.config import get_cfg_defaults
     from demo2_tpu.models import make_model

@@ -25,15 +25,22 @@ import numpy as np
 def generate(root: str, num_pids: int = 171, imgs_per_pid: int = 23,
              test_pids: int = 30, test_imgs_per_pid: int = 14,
              num_cams: int = 6, src_size=(288, 144), seed: int = 0,
-             quality: int = 95) -> str:
-    """Returns the dataset root (idempotent: skips if marker file exists)."""
+             quality: int = 95, id_weight: float = 0.35) -> str:
+    """Returns the dataset root (idempotent: skips if marker file exists).
+
+    ``id_weight`` scales the hard recipe's identity signal (datasets.py
+    SyntheticTriModal); the quality gate lowers it so full-width training
+    cannot saturate mAP (tools/quality_gate.py).
+    """
     from PIL import Image
 
     from demo2_tpu.data.datasets import SyntheticTriModal
 
     base = osp.join(root, "RGBNT201")
+    idw = "" if id_weight == 0.35 else f"_w{id_weight:g}"
     marker = osp.join(
-        base, f".complete_{num_pids}x{imgs_per_pid}_{test_pids}x{test_imgs_per_pid}"
+        base,
+        f".complete_{num_pids}x{imgs_per_pid}_{test_pids}x{test_imgs_per_pid}{idw}",
     )
     if osp.exists(marker):
         return root
@@ -42,6 +49,7 @@ def generate(root: str, num_pids: int = 171, imgs_per_pid: int = 23,
     renderer = SyntheticTriModal(
         num_pids=max(num_pids, test_pids), num_cams=num_cams,
         imgs_per_pid=1, image_size=(h, w), seed=seed, hard=True,
+        id_weight=id_weight,
     )
     mods = ("RGB", "NI", "TI")
 

@@ -1,0 +1,211 @@
+"""Full-width hardware quality gate (VERDICT r3 #3).
+
+Trains the FLAGSHIP production configuration — ViT-B-16 at 256x128, bf16
+compute, Pallas flash attention, HBM device-cache augmentation, chunked-scan
+dispatch, AsyncWriter — on a non-saturating SyntheticHard JPEG dataset and
+asserts a DISCRIMINATIVE quality bar on the TPU itself:
+
+  * epoch-1 mAP must be below the band ceiling (the task is not trivially
+    separable, unlike the e2e bench dataset that hits mAP 100 in 4 epochs);
+  * mAP must IMPROVE over training (final >= first + --min-gain);
+  * the best mAP must land inside [--band-lo, --band-hi] — the band is
+    pinned from hardware runs (docs/PARITY.md "hardware quality gate" row).
+
+Until this gate, quality evidence exercised either tiny/fp32/CPU models
+(reports/crosscheck.json) or full-width hardware on a saturating dataset
+(logs/e2e_r3d: mAP 100.0); this is the first assertion through the full
+production numeric path at a non-trivial operating point.
+
+The dataset lowers the hard recipe's identity-signal weight (--id-weight,
+datasets.py SyntheticTriModal) and raises the id count so color-palette
+identity is buried in noise + JPEG artifacts.  Reference anchor: the
+72.8 -> 75.7 mAP ablation ladder semantics (experiment_result_summary/
+ablation_SDTPS_DGAF_analysis_20251208.md:104-109) — real-data validation
+needs the real datasets + CLIP weights this box does not have (zero egress).
+
+Usage:
+  python tools/quality_gate.py                   # full gate on the TPU
+  python tools/quality_gate.py --tiny            # CPU mechanics smoke
+  python tools/quality_gate.py --report-only     # no assertions (tuning)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import os.path as osp
+import sys
+import time
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+
+class TrajectoryRecorder:
+    """Minimal writer: records scalars so the gate can assert on the mAP
+    trajectory that do_train reports per EVAL_PERIOD."""
+
+    def __init__(self):
+        self.scalars = []
+
+    def add_scalar(self, tag, value, step):
+        self.scalars.append((tag, float(value), int(step)))
+
+    def series(self, tag):
+        return [v for t, v, _ in self.scalars if t == tag]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=6)
+    ap.add_argument("--pids", type=int, default=96)
+    ap.add_argument("--imgs-per-pid", type=int, default=12)
+    ap.add_argument("--test-pids", type=int, default=32)
+    ap.add_argument("--id-weight", type=float, default=0.16,
+                    help="identity-signal weight of the hard recipe "
+                         "(0.35 = the e2e bench dataset, saturates)")
+    ap.add_argument("--band-lo", type=float, default=0.30)
+    ap.add_argument("--band-hi", type=float, default=0.995)
+    ap.add_argument("--min-gain", type=float, default=0.05,
+                    help="required mAP improvement final-vs-first eval")
+    ap.add_argument("--root", default="/tmp/d2t_gate")
+    ap.add_argument("--report", default="reports/quality_gate.json")
+    ap.add_argument("--report-only", action="store_true",
+                    help="record the trajectory, skip the assertions")
+    ap.add_argument("--tiny", action="store_true",
+                    help="CPU mechanics smoke: tiny model + images")
+    args = ap.parse_args()
+
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s: %(message)s")
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    if args.tiny:
+        jax.config.update("jax_platforms", "cpu")
+
+    from demo2_tpu.config import get_cfg_defaults
+    from demo2_tpu.data import make_dataloader
+    from demo2_tpu.engine import create_train_state
+    from demo2_tpu.engine.train import do_train
+    from demo2_tpu.models import make_model
+    from demo2_tpu.parallel import make_mesh
+    from tools.make_synthetic_jpegs import generate
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+
+    cfg = get_cfg_defaults()
+    cfg.MODEL.TRANSFORMER_TYPE = "ViT-B-16"
+    cfg.MODEL.USE_SDTPS = True
+    cfg.MODEL.USE_DGAF = True
+    cfg.MODEL.DGAF_VERSION = "v3"
+    cfg.MODEL.ID_LOSS_WEIGHT = 0.25
+    cfg.MODEL.TRIPLET_LOSS_WEIGHT = 1.0
+    cfg.SOLVER.OPTIMIZER_NAME = "Adam"
+    cfg.SOLVER.BASE_LR = 3.5e-4
+    cfg.SOLVER.IMS_PER_BATCH = 64
+    cfg.SOLVER.MAX_EPOCHS = args.epochs
+    cfg.SOLVER.EVAL_PERIOD = 1
+    cfg.SOLVER.LOG_PERIOD = 10
+    cfg.SOLVER.CHECKPOINT_PERIOD = 0
+    cfg.DATALOADER.NUM_INSTANCE = 8
+    cfg.DATASETS.NAMES = "RGBNT201"
+    cfg.DATASETS.ROOT_DIR = args.root
+    cfg.TEST.IMS_PER_BATCH = 128
+    cfg.TPU.DATA_CACHE = "device"
+    cfg.TPU.COMPUTE_DTYPE = "bfloat16" if on_tpu else "float32"
+    cfg.TPU.USE_FLASH_ATTENTION = on_tpu
+    cfg.TPU.BF16_MOMENTS = on_tpu
+    cfg.TPU.BF16_SECOND_MOMENT = on_tpu
+    src = (288, 144)
+    if args.tiny:
+        cfg.TPU.BACKBONE_DEPTH = 2
+        cfg.TPU.BACKBONE_WIDTH = 64
+        cfg.TPU.BACKBONE_HEADS = 2
+        cfg.INPUT.SIZE_TRAIN = (64, 32)
+        cfg.INPUT.SIZE_TEST = (64, 32)
+        cfg.SOLVER.IMS_PER_BATCH = 16
+        cfg.DATALOADER.NUM_INSTANCE = 2
+        cfg.TEST.IMS_PER_BATCH = 32
+        args.pids, args.imgs_per_pid, args.test_pids = 12, 8, 8
+        src = (72, 36)
+    cfg.freeze()
+
+    t0 = time.perf_counter()
+    generate(args.root, num_pids=args.pids, imgs_per_pid=args.imgs_per_pid,
+             test_pids=args.test_pids, test_imgs_per_pid=8, src_size=src,
+             id_weight=args.id_weight)
+    print(f"gate dataset ready in {time.perf_counter() - t0:.1f}s "
+          f"({args.pids}x{args.imgs_per_pid} train, id_weight "
+          f"{args.id_weight})", file=sys.stderr)
+
+    train_pipe, sampler, val_pipe, nq, num_classes, cam_num, view_num = (
+        make_dataloader(cfg)
+    )
+    model = make_model(cfg, num_classes, cam_num, view_num)
+    mesh = make_mesh(cfg.TPU.NUM_DEVICES)
+    rng = jax.random.PRNGKey(cfg.SOLVER.SEED)
+    sample = next(train_pipe.iter_batches(sampler.epoch_indices(0), seed=0))
+    steps_per_epoch = max(1, len(sampler) // cfg.SOLVER.IMS_PER_BATCH)
+    state, tx, center_tx, schedule = create_train_state(
+        cfg, model, rng, sample, steps_per_epoch=steps_per_epoch
+    )
+
+    rec = TrajectoryRecorder()
+    t0 = time.perf_counter()
+    state, best = do_train(
+        cfg, model, state, tx, center_tx, train_pipe, sampler, val_pipe, nq,
+        schedule=schedule, mesh=mesh, writer=rec, exp_name="quality_gate",
+    )
+    wall = time.perf_counter() - t0
+
+    maps = rec.series("Val/mAP")
+    r1s = rec.series("Val/Rank-1")
+    report = {
+        "config": {
+            "epochs": args.epochs, "pids": args.pids,
+            "imgs_per_pid": args.imgs_per_pid, "id_weight": args.id_weight,
+            "backend": jax.default_backend(),
+            "compute_dtype": cfg.TPU.COMPUTE_DTYPE,
+            "flash_attention": cfg.TPU.USE_FLASH_ATTENTION,
+            "image_size": list(cfg.INPUT.SIZE_TRAIN), "tiny": args.tiny,
+        },
+        "mAP_trajectory": [round(m, 4) for m in maps],
+        "rank1_trajectory": [round(r, 4) for r in r1s],
+        "best_mAP": round(best["mAP"], 4),
+        "wall_seconds": round(wall, 1),
+        "band": [args.band_lo, args.band_hi],
+        "min_gain": args.min_gain,
+    }
+
+    checks = {}
+    if maps:
+        checks["first_eval_below_ceiling"] = maps[0] < args.band_hi
+        checks["improves"] = maps[-1] >= maps[0] + args.min_gain
+        checks["best_in_band"] = args.band_lo <= max(maps) <= args.band_hi
+    else:
+        checks["has_evals"] = False
+    report["checks"] = checks
+    report["passed"] = all(checks.values()) and bool(maps)
+
+    os.makedirs(osp.dirname(args.report) or ".", exist_ok=True)
+    with open(args.report, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report))
+
+    if args.report_only:
+        return 0
+    if not report["passed"]:
+        print("QUALITY GATE FAILED: " + ", ".join(
+            k for k, v in checks.items() if not v), file=sys.stderr)
+        return 1
+    print("QUALITY GATE PASSED", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -119,3 +119,28 @@ def test_eval_pipe_native_matches_pil(tmp_path):
     assert np.max(np.abs(b_nat.images - b_pil.images)) < 8 * 2 / 255
     assert np.mean(np.abs(b_nat.images - b_pil.images)) < 1.5 * 2 / 255
     np.testing.assert_array_equal(b_nat.pids, b_pil.pids)
+
+
+def test_native_decode_off_forces_pil(tiny_cfg):
+    """DATALOADER.NATIVE_DECODE=off pins the PIL-exact decode path even when
+    libd2tloader is present (ADVICE r3: bit-level eval parity opt-out)."""
+    cfg = tiny_cfg
+    cfg.DATALOADER.NATIVE_DECODE = "off"
+    train_pipe, _, val_pipe, *_ = make_dataloader(cfg)
+    assert not train_pipe.use_native
+    assert not val_pipe.use_native
+
+
+def test_native_decode_on_requires_library(tiny_cfg):
+    from demo2_tpu.data.native import native_available
+
+    cfg = tiny_cfg
+    cfg.DATALOADER.NATIVE_DECODE = "on"
+    if native_available():
+        train_pipe, _, val_pipe, *_ = make_dataloader(cfg)
+        assert train_pipe.use_native and val_pipe.use_native
+    else:
+        import pytest
+
+        with pytest.raises(RuntimeError, match="NATIVE_DECODE=on"):
+            make_dataloader(cfg)

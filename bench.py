@@ -136,6 +136,9 @@ def measure(cfg, root, epochs, chunk, n_dev_req):
     model = make_model(cfg, num_classes, cam_num, view_num)
     mesh = make_mesh(n_dev_req)
     n_dev = len(mesh.devices.flatten())
+    if n_dev_req > 0 and n_dev != n_dev_req:
+        log(f"WARNING: requested {n_dev_req} devices, only {n_dev} attached "
+            "— reporting per-chip over the actual mesh")
 
     rng = jax.random.PRNGKey(0)
     sample = next(train_pipe.iter_batches(sampler.epoch_indices(0), seed=0))
@@ -308,7 +311,12 @@ def main():
 
     try:
         on_tpu = jax.default_backend() in ("tpu", "axon")
+        avail = len(jax.devices())
         n_dev_req = max(1, args.devices)
+        if n_dev_req > avail:
+            log(f"WARNING: --devices {n_dev_req} > {avail} attached; "
+                f"clamping (weak scaling needs the real chips)")
+            n_dev_req = avail
         runs = [1, n_dev_req] if (args.scaling and n_dev_req > 1) else [n_dev_req]
         per_chip = {}
         loss = None

@@ -67,10 +67,12 @@ class PIFE(nn.Module):
 
             dim = T2T_CONFIGS[self.transformer_type][0]
             return dim if self.width_override < 0 else self.width_override
-        if "swin" in self.transformer_type:
+        if "swin" in self.transformer_type or "deit_small" in self.transformer_type:
             # 'swin_small_patch16_224' is not Swin at all in the reference —
             # it builds the plain `Trans` ViT at width 384
-            # (vit_pytorch.py:524-535) and is absent from the factory map.
+            # (vit_pytorch.py:524-535) and is absent from the factory map;
+            # deit_small is the same config (:512-523), registered but
+            # broken by the reference's 768-assuming feat-dim dispatch.
             return 384 if self.width_override < 0 else self.width_override
         if self.transformer_type.startswith("resnet"):
             return 2048  # 512 * Bottleneck.expansion (resnet.py:192)
@@ -228,8 +230,10 @@ class PIFE(nn.Module):
             if "vit_small" in self.transformer_type:
                 depth, heads, mlp_ratio, qkv_bias = 8, 8, 3.0, False
                 qk_scale = 768 ** -0.5
-            elif "swin" in self.transformer_type:
-                # Plain Trans at width 384 (vit_pytorch.py:524-535).
+            elif "swin" in self.transformer_type or "deit_small" in self.transformer_type:
+                # Identical 384-wide Trans configs (vit_pytorch.py:512-535);
+                # the reference REGISTERS deit_small but its make_model
+                # feat-dim dispatch assumes 768 and breaks — working here.
                 depth, heads, mlp_ratio, qkv_bias = 12, 6, 4.0, True
                 qk_scale = None
                 embed_dim = 384
@@ -240,10 +244,9 @@ class PIFE(nn.Module):
                 raise NotImplementedError(
                     f"TRANSFORMER_TYPE '{self.transformer_type}' is not supported; "
                     "use 'ViT-B-16' (CLIP), 'vit_base_patch16_224', "
-                    "'deit_base_patch16_224', 'vit_small_patch16_224', "
-                    "'t2t_vit_t_14' or 't2t_vit_t_24'. "
-                    "(swin is an unregistered dead mention in the reference, "
-                    "and deit_small breaks its feat-dim dispatch.)"
+                    "'deit_base_patch16_224', 'deit_small_patch16_224', "
+                    "'vit_small_patch16_224', 't2t_vit_t_14' or 't2t_vit_t_24'. "
+                    "(swin is an unregistered dead mention in the reference.)"
                 )
             tokens = ImageNetViT(
                 img_size=tuple(self.img_size),

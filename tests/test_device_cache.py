@@ -142,6 +142,7 @@ def test_draw_params_distributions():
     assert 0.015 < area_frac.mean() < 0.25  # E[area] ~ (0.02+1/3)/2 pre-rounding
 
 
+@pytest.mark.slow
 def test_cached_steps_match_host_fed_steps(pipes):
     """Augmentation off -> cached train/eval == host-fed with same pixels."""
     cfg, (train_pipe, sampler, val_pipe, nq, nc, cams, views) = pipes
@@ -195,6 +196,7 @@ def test_cached_steps_match_host_fed_steps(pipes):
     np.testing.assert_allclose(cmc_c, cmc_h, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_chunked_dispatch_matches_per_step(pipes):
     """K-step scan chunks over the cache == K per-step dispatches (SGD)."""
     cfg, (train_pipe, sampler, val_pipe, nq, nc, cams, views) = pipes
@@ -230,6 +232,7 @@ def test_chunked_dispatch_matches_per_step(pipes):
     )
 
 
+@pytest.mark.slow
 def test_do_train_device_cache_e2e(tiny_cfg):
     cfg = tiny_cfg
     cfg.MODEL.USE_SDTPS = True
@@ -256,6 +259,7 @@ def test_do_train_device_cache_e2e(tiny_cfg):
     assert best["mAP"] > 0.5  # easy synthetic separates quickly
 
 
+@pytest.mark.slow
 def test_do_train_chunked_with_tail(tiny_cfg):
     """do_train's device-cache chunked dispatch with steps % LOG_PERIOD != 0:
     the tail runs through its own scan executable (engine/train.py round 3)

@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full e2e trainings per arch (minutes)
+
 from demo2_tpu.data import make_dataloader
 from demo2_tpu.engine import create_train_state
 from demo2_tpu.engine.eval import build_eval_step, run_eval

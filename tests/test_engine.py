@@ -58,6 +58,7 @@ def test_train_step_mesh_updates_state(setup):
     assert max(jax.tree_util.tree_leaves(bs_moved)) > 0
 
 
+@pytest.mark.slow
 def test_scan_steps_matches_python_loop(tiny_cfg):
     """K steps via the device-side `lax.scan` loop == K python-loop steps.
 
@@ -132,6 +133,7 @@ def test_eval_runs_and_matches_numpy_protocol(setup):
     assert cmc.ndim == 1 and np.all(np.diff(cmc) >= -1e-6)  # monotone CMC
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     import importlib.util, pathlib
 

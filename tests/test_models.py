@@ -219,3 +219,15 @@ def test_swin_alias_backbone(tiny_cfg):
     tiny_cfg.TPU.BACKBONE_DEPTH = 2  # tiny depth for CPU
     out, _ = _run(tiny_cfg, batch=2)
     assert out["embedding"].shape == (2, 3 * 384)
+
+
+def test_deit_small_backbone(tiny_cfg):
+    # deit_small_patch16_224 (vit_pytorch.py:512-523): the reference
+    # registers it but its make_model feat-dim dispatch assumes 768-d and
+    # breaks; here it runs — Trans at width 384 -> 3*384 embedding.
+    tiny_cfg.MODEL.TRANSFORMER_TYPE = "deit_small_patch16_224"
+    tiny_cfg.TPU.BACKBONE_WIDTH = -1
+    tiny_cfg.TPU.BACKBONE_HEADS = -1
+    tiny_cfg.TPU.BACKBONE_DEPTH = 2  # tiny depth for CPU
+    out, _ = _run(tiny_cfg, batch=2)
+    assert out["embedding"].shape == (2, 3 * 384)

@@ -13,6 +13,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-step 1-vs-8-device equivalence (the driver separately runs dryrun_multichip)
+
 from demo2_tpu.data import make_dataloader
 from demo2_tpu.engine import create_train_state
 from demo2_tpu.engine.eval import build_eval_step

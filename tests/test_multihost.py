@@ -23,6 +23,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # spawns real jax.distributed subprocesses (minutes)
+
 ROOT = pathlib.Path(__file__).resolve().parents[1]
 WORKER = ROOT / "tests" / "multihost_worker.py"
 

@@ -193,6 +193,7 @@ def test_osnet_ain_featuremap_parity():
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_osnet_ain_in_full_assembly():
     from demo2_tpu.config import get_cfg_defaults
     from demo2_tpu.models import make_model
@@ -215,6 +216,7 @@ def test_osnet_ain_in_full_assembly():
     assert np.isfinite(np.asarray(out["embedding"])).all()
 
 
+@pytest.mark.slow
 def test_osnet_in_full_assembly():
     from demo2_tpu.config import get_cfg_defaults
     from demo2_tpu.models import make_model

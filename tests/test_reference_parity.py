@@ -473,6 +473,7 @@ DEMO_CONFIGS = {
 
 
 @pytest.mark.parametrize("name", sorted(DEMO_CONFIGS))
+@pytest.mark.slow
 def test_demo_full_model_parity(name):
     """Eval-mode embedding + head logits of the full DeMo vs the reference."""
     from demo2_tpu.models import make_model
@@ -517,6 +518,7 @@ def test_demo_full_model_parity(name):
         allclose(logits, ref_logits, rtol=5e-4, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_demo_parallel_full_model_parity():
     from demo2_tpu.models import make_model
     from demo2_tpu.utils.ref_convert import convert_demo_parallel
@@ -553,6 +555,7 @@ LEGACY_CONFIGS = {
 
 
 @pytest.mark.parametrize("name", sorted(LEGACY_CONFIGS))
+@pytest.mark.slow
 def test_demo_legacy_full_model_parity(name):
     """DeMoBeiyong cascade (make_model.py:23-439) vs our DeMoLegacy."""
     from demo2_tpu.models import make_model

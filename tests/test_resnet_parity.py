@@ -77,6 +77,7 @@ def test_resnet50_featuremap_parity():
     )  # GAP == AdaptiveAvgPool2d((1,1)); fp32 accumulation order differs
 
 
+@pytest.mark.slow
 def test_resnet_backbone_in_full_assembly():
     from demo2_tpu.config import get_cfg_defaults
     from demo2_tpu.models import make_model
@@ -216,6 +217,7 @@ def test_resnet50_ibn_b_featuremap_parity():
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_resnet_ibn_in_full_assembly():
     from demo2_tpu.config import get_cfg_defaults
     from demo2_tpu.models import make_model

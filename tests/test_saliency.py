@@ -63,6 +63,7 @@ def test_perturb_probe_is_transparent(tiny):
     assert "patches" not in out_plain
 
 
+@pytest.mark.slow
 def test_gradcam_shape_range_and_class_conditionality(tiny):
     cfg, model, variables, images, cams = tiny
     maps = gradcam(model, variables, images, cams)

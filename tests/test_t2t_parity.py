@@ -95,6 +95,7 @@ def test_t2t_trunk_parity():
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_t2t_backbone_in_full_assembly():
     """t2t_vit_t_14 actually runs inside DeMo (which the reference cannot:
     meta_arch.py:51-87 never constructs it)."""

@@ -223,9 +223,17 @@ def configure(on_tpu, n_dev, overrides, epochs_arg):
     cfg.TPU.BF16_MOMENTS = on_tpu
     cfg.TPU.BF16_SECOND_MOMENT = on_tpu
     if on_tpu:
-        root = "/tmp/d2t_synth"
         t0 = time.perf_counter()
-        generate(root)  # idempotent; ~85 s cold
+        # PK batches need IMS_PER_BATCH/NUM_INSTANCE = 8N distinct ids; the
+        # RGBNT201-scale set (171 ids) covers N <= 21 — scale the id pool
+        # (same imgs/id) for larger meshes so weak scaling stays honest.
+        pids_needed = 8 * n_dev * 2
+        if pids_needed <= 171:
+            root = "/tmp/d2t_synth"
+            generate(root)  # idempotent; ~85 s cold
+        else:
+            root = f"/tmp/d2t_synth_p{pids_needed}"
+            generate(root, num_pids=pids_needed)
         log(f"dataset ready in {time.perf_counter() - t0:.1f}s")
         epochs = 4
     else:  # CPU smoke fallback so the script always works

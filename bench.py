@@ -116,7 +116,7 @@ def _is_unavailable(exc: BaseException) -> bool:
     return "UNAVAILABLE" in msg or "Unable to initialize backend" in msg
 
 
-def measure(cfg, root, epochs, chunk, n_dev_req):
+def measure(cfg, epochs, chunk, n_dev_req):
     """Run the e2e loop once; returns (img/s/chip, n_devices, loss)."""
     import jax
     import jax.numpy as jnp
@@ -200,28 +200,12 @@ def measure(cfg, root, epochs, chunk, n_dev_req):
 def configure(on_tpu, n_dev, overrides, epochs_arg):
     """Build the flagship bench config (per-chip batch fixed = weak scaling)."""
     from demo2_tpu.config import get_cfg_defaults
+    from demo2_tpu.config.presets import apply_flagship, apply_tiny
     from tools.make_synthetic_jpegs import generate
 
     cfg = get_cfg_defaults()
-    cfg.MODEL.TRANSFORMER_TYPE = "ViT-B-16"
-    cfg.MODEL.USE_SDTPS = True
-    cfg.MODEL.USE_DGAF = True
-    cfg.MODEL.DGAF_VERSION = "v3"
-    cfg.MODEL.ID_LOSS_WEIGHT = 0.25
-    cfg.MODEL.TRIPLET_LOSS_WEIGHT = 1.0
-    cfg.SOLVER.OPTIMIZER_NAME = "Adam"
-    cfg.SOLVER.BASE_LR = 3.5e-4
+    apply_flagship(cfg, on_tpu)
     cfg.SOLVER.IMS_PER_BATCH = 64 * n_dev
-    cfg.DATALOADER.NUM_INSTANCE = 8
-    cfg.DATASETS.NAMES = "RGBNT201"
-    cfg.TPU.DATA_CACHE = "device"
-    cfg.TPU.COMPUTE_DTYPE = "bfloat16" if on_tpu else "float32"
-    cfg.TPU.USE_FLASH_ATTENTION = on_tpu
-    # bf16 Adam moment STORAGE (both moments): +8 img/s (first, round 2)
-    # +3 img/s (second, round 3) measured; trajectory-tested against fp32
-    # state (tests/test_solver.py), off in config defaults.
-    cfg.TPU.BF16_MOMENTS = on_tpu
-    cfg.TPU.BF16_SECOND_MOMENT = on_tpu
     if on_tpu:
         t0 = time.perf_counter()
         # PK batches need IMS_PER_BATCH/NUM_INSTANCE = 8N distinct ids; the
@@ -237,13 +221,8 @@ def configure(on_tpu, n_dev, overrides, epochs_arg):
         log(f"dataset ready in {time.perf_counter() - t0:.1f}s")
         epochs = 4
     else:  # CPU smoke fallback so the script always works
-        cfg.TPU.BACKBONE_DEPTH = 2
-        cfg.TPU.BACKBONE_WIDTH = 64
-        cfg.TPU.BACKBONE_HEADS = 2
-        cfg.INPUT.SIZE_TRAIN = (64, 32)
-        cfg.INPUT.SIZE_TEST = (64, 32)
+        apply_tiny(cfg)
         cfg.SOLVER.IMS_PER_BATCH = 8 * n_dev
-        cfg.DATALOADER.NUM_INSTANCE = 2
         # Enough pids that the PK sampler fills the global batch at any N.
         pids = max(8, 8 * n_dev)
         root = f"/tmp/d2t_synth_smoke_p{pids}"
@@ -311,11 +290,9 @@ def main():
         if args.devices > 1:
             jax.config.update("jax_num_cpu_devices", args.devices)
 
-    # Persistent compilation cache: the remote-compile path is slow (minutes
-    # for the full train step), but cached executables reload in seconds.
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from demo2_tpu.config.presets import setup_compilation_cache
+
+    setup_compilation_cache()
 
     try:
         on_tpu = jax.default_backend() in ("tpu", "axon")
@@ -329,8 +306,8 @@ def main():
         per_chip = {}
         loss = None
         for n in runs:
-            cfg, root, epochs = configure(on_tpu, n, args.set, args.epochs)
-            per_chip[n], n_dev, loss = measure(cfg, root, epochs, args.chunk, n)
+            cfg, _root, epochs = configure(on_tpu, n, args.set, args.epochs)
+            per_chip[n], n_dev, loss = measure(cfg, epochs, args.chunk, n)
     except Exception as e:  # noqa: BLE001 — classify, don't mask real bugs
         if _is_unavailable(e):
             log(f"TPU became unavailable mid-run: {type(e).__name__}: {e}")

@@ -94,6 +94,14 @@ class TriModalDataPipe:
                     "(DATALOADER.NATIVE_DECODE=off for the PIL-exact path)",
                     mode,
                 )
+        elif use_native and not self._all_jpeg_paths():
+            # Explicit force (DATALOADER.NATIVE_DECODE=on) still needs a
+            # decodable dataset — fail clearly instead of deep inside the
+            # C++ loader.
+            raise ValueError(
+                "native decode requires on-disk JPEG datasets "
+                "(DATALOADER.NATIVE_DECODE=on with in-memory/non-JPEG samples)"
+            )
         self.use_native = bool(use_native)
 
     def _all_jpeg_paths(self) -> bool:

@@ -41,7 +41,10 @@ for s in ${STEPS}; do
         OUTPUT_DIR ./logs/r4/e2e
       ;;
     quality)
-      run quality python tools/quality_gate.py --report-only \
+      # Assertions LIVE (the gate gates); if the default band proves
+      # mis-tuned on first hardware contact, adjust --band-lo/--band-hi
+      # from the recorded trajectory and pin the result in docs/PARITY.md.
+      run quality python tools/quality_gate.py \
         --report reports/quality_gate.json
       ;;
     profile)

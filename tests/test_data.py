@@ -131,16 +131,19 @@ def test_native_decode_off_forces_pil(tiny_cfg):
     assert not val_pipe.use_native
 
 
-def test_native_decode_on_requires_library(tiny_cfg):
+def test_native_decode_on_fails_clearly(tiny_cfg):
+    """NATIVE_DECODE=on errors up front when it cannot work: RuntimeError if
+    libd2tloader is missing, ValueError for non-JPEG (in-memory Synthetic)
+    samples — never a confusing failure deep inside the C++ loader."""
+    import pytest
+
     from demo2_tpu.data.native import native_available
 
     cfg = tiny_cfg
     cfg.DATALOADER.NATIVE_DECODE = "on"
     if native_available():
-        train_pipe, _, val_pipe, *_ = make_dataloader(cfg)
-        assert train_pipe.use_native and val_pipe.use_native
+        with pytest.raises(ValueError, match="JPEG"):
+            make_dataloader(cfg)
     else:
-        import pytest
-
         with pytest.raises(RuntimeError, match="NATIVE_DECODE=on"):
             make_dataloader(cfg)

@@ -42,9 +42,9 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from demo2_tpu.config.presets import setup_compilation_cache
+
+    setup_compilation_cache()
     if args.tiny:
         jax.config.update("jax_platforms", "cpu")
 
@@ -72,11 +72,11 @@ def main():
 
     bs = cfg.SOLVER.IMS_PER_BATCH
     K = args.chunk
-    order = sampler.epoch_indices(1)
+    order = np.asarray(sampler.epoch_indices(1), np.int32)
     need = (args.chunks + 1) * K * bs
-    while len(order) < need:  # tiny datasets: repeat the order
-        order = order + order
-    idx_all = np.asarray(order[:need], np.int32).reshape(-1, K, bs)
+    if len(order) < need:  # tiny datasets: repeat the epoch order
+        order = np.tile(order, -(-need // len(order)))
+    idx_all = order[:need].reshape(-1, K, bs)
     step_k = build_train_step(cfg, model, tx, center_tx, mesh, donate=True,
                               scan_steps=K, device_cache=cache)
 

@@ -82,9 +82,9 @@ def main():
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from demo2_tpu.config.presets import setup_compilation_cache
+
+    setup_compilation_cache()
     if args.tiny:
         jax.config.update("jax_platforms", "cpu")
 
@@ -98,38 +98,19 @@ def main():
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
 
+    from demo2_tpu.config.presets import apply_flagship, apply_tiny
+
     cfg = get_cfg_defaults()
-    cfg.MODEL.TRANSFORMER_TYPE = "ViT-B-16"
-    cfg.MODEL.USE_SDTPS = True
-    cfg.MODEL.USE_DGAF = True
-    cfg.MODEL.DGAF_VERSION = "v3"
-    cfg.MODEL.ID_LOSS_WEIGHT = 0.25
-    cfg.MODEL.TRIPLET_LOSS_WEIGHT = 1.0
-    cfg.SOLVER.OPTIMIZER_NAME = "Adam"
-    cfg.SOLVER.BASE_LR = 3.5e-4
-    cfg.SOLVER.IMS_PER_BATCH = 64
+    apply_flagship(cfg, on_tpu)  # the SAME production recipe bench.py runs
     cfg.SOLVER.MAX_EPOCHS = args.epochs
     cfg.SOLVER.EVAL_PERIOD = 1
     cfg.SOLVER.LOG_PERIOD = 10
     cfg.SOLVER.CHECKPOINT_PERIOD = 0
-    cfg.DATALOADER.NUM_INSTANCE = 8
-    cfg.DATASETS.NAMES = "RGBNT201"
     cfg.DATASETS.ROOT_DIR = args.root
     cfg.TEST.IMS_PER_BATCH = 128
-    cfg.TPU.DATA_CACHE = "device"
-    cfg.TPU.COMPUTE_DTYPE = "bfloat16" if on_tpu else "float32"
-    cfg.TPU.USE_FLASH_ATTENTION = on_tpu
-    cfg.TPU.BF16_MOMENTS = on_tpu
-    cfg.TPU.BF16_SECOND_MOMENT = on_tpu
     src = (288, 144)
     if args.tiny:
-        cfg.TPU.BACKBONE_DEPTH = 2
-        cfg.TPU.BACKBONE_WIDTH = 64
-        cfg.TPU.BACKBONE_HEADS = 2
-        cfg.INPUT.SIZE_TRAIN = (64, 32)
-        cfg.INPUT.SIZE_TEST = (64, 32)
-        cfg.SOLVER.IMS_PER_BATCH = 16
-        cfg.DATALOADER.NUM_INSTANCE = 2
+        apply_tiny(cfg)
         cfg.TEST.IMS_PER_BATCH = 32
         args.pids, args.imgs_per_pid, args.test_pids = 12, 8, 8
         src = (72, 36)

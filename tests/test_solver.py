@@ -241,3 +241,34 @@ def test_cosine_schedule_reachable_from_config():
     # warmup epochs 1..4 differ: multistep uses warmup_factor blending to
     # BASE_LR, cosine ramps from 0.1*BASE_LR with per-epoch noise.
     assert default(0) != cosine(0) or default(50) != cosine(50)
+
+
+def test_cosine_noise_numpy_fallback(monkeypatch):
+    """Torch-free deployments (ADVICE r3): the cosine schedule's LR-noise
+    branch falls back to a numpy N(0,1) draw — same rejection semantics
+    (|noise| < pct), deterministic per epoch, not the torch bit stream."""
+    import builtins
+
+    from demo2_tpu.solver.optim import timm_cosine_lr
+
+    real_import = builtins.__import__
+
+    def no_torch(name, *a, **k):
+        if name == "torch":
+            raise ImportError("torch disabled for test")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_torch)
+    lr_at = timm_cosine_lr(
+        1e-3, t_initial=10, lr_min=1e-6, warmup_t=0, noise_range_t=(0, 10),
+        noise_pct=0.67,
+    )
+    vals = [lr_at(t) for t in range(10)]
+    assert vals == [lr_at(t) for t in range(10)]  # per-t deterministic
+    # |noise| < pct bound: lr in (base*(1-pct), base*(1+pct)) around the
+    # noiseless cosine value.
+    monkeypatch.setattr(builtins, "__import__", real_import)
+    clean = timm_cosine_lr(1e-3, t_initial=10, lr_min=1e-6, warmup_t=0)
+    for t, v in enumerate(vals):
+        c = clean(t)
+        assert abs(v - c) < 0.67 * c + 1e-12

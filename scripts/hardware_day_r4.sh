@@ -50,6 +50,10 @@ for s in ${STEPS}; do
     profile)
       run profile python tools/profile_trace.py --log-dir logs/r4/profile
       ;;
+    kernels)
+      # Pallas kernels on real hardware (suite-gated tests).
+      run kernels env DEMO2_TEST_TPU=1 python -m pytest tests/test_tpu_kernels.py -q
+      ;;
     *) echo "unknown step: $s" ;;
   esac
 done

@@ -73,41 +73,51 @@ class TriModalDataPipe:
         self.pool = cf.ThreadPoolExecutor(max_workers=self.num_workers)
         # Native C++ decode/transform path for on-disk JPEGs: train pipes get
         # the full augmentation pipeline (bicubic resize), eval pipes the
-        # identity transform with torchvision-parity bilinear resize.
-        if use_native is None:
-            from .native import native_available
+        # identity transform with torchvision-parity bilinear resize.  The
+        # pipe owns the decision AND its preconditions: auto probes cheaply;
+        # an explicit force validates exhaustively and fails clearly instead
+        # of deep inside the C++ loader.
+        from .native import native_available
 
+        if use_native is None:
             use_native = (
                 isinstance(transform, (TrainTransform, EvalTransform))
                 and self._all_jpeg_paths()
                 and native_available()
             )
-            if use_native:
-                # One-line notice so parity audits can tell which decode path
-                # ran (the native resize is a ~2/255 bilinear approximation;
-                # DATALOADER.NATIVE_DECODE=off forces the PIL-exact path).
-                import logging
-
-                mode = "train" if isinstance(transform, TrainTransform) else "eval"
-                logging.getLogger("DeMo").info(
-                    "data pipe (%s): native C++ decode enabled "
-                    "(DATALOADER.NATIVE_DECODE=off for the PIL-exact path)",
-                    mode,
+        elif use_native:
+            if not native_available():
+                raise RuntimeError(
+                    "native decode forced but libd2tloader is not built "
+                    "(run make -C native)"
                 )
-        elif use_native and not self._all_jpeg_paths():
-            # Explicit force (DATALOADER.NATIVE_DECODE=on) still needs a
-            # decodable dataset — fail clearly instead of deep inside the
-            # C++ loader.
-            raise ValueError(
-                "native decode requires on-disk JPEG datasets "
-                "(DATALOADER.NATIVE_DECODE=on with in-memory/non-JPEG samples)"
-            )
+            if not samples:
+                raise ValueError("native decode forced on an empty dataset")
+            if not self._all_jpeg_paths(check_all=True):
+                raise ValueError(
+                    "native decode requires on-disk JPEG datasets "
+                    "(DATALOADER.NATIVE_DECODE=on with in-memory/non-JPEG "
+                    "samples)"
+                )
         self.use_native = bool(use_native)
+        if self.use_native:
+            # One-line notice so parity audits can tell which decode path
+            # ran (the native resize is a ~2/255 bilinear approximation;
+            # DATALOADER.NATIVE_DECODE=off forces the PIL-exact path).
+            import logging
 
-    def _all_jpeg_paths(self) -> bool:
+            mode = "train" if isinstance(transform, TrainTransform) else "eval"
+            logging.getLogger("DeMo").info(
+                "data pipe (%s): native C++ decode enabled "
+                "(DATALOADER.NATIVE_DECODE=off for the PIL-exact path)",
+                mode,
+            )
+
+    def _all_jpeg_paths(self, check_all: bool = False) -> bool:
         if not self.samples:
             return False
-        for s in self.samples[: min(len(self.samples), 8)]:
+        n = len(self.samples) if check_all else min(len(self.samples), 8)
+        for s in self.samples[:n]:
             ref = s[0]
             paths = [ref] if isinstance(ref, str) else ref
             if not isinstance(paths, (list, tuple)):
@@ -234,19 +244,16 @@ def make_dataloader(cfg: Config):
     dataset = DATASET_REGISTRY[name](root=cfg.DATASETS.ROOT_DIR)
 
     native_mode = getattr(cfg.DATALOADER, "NATIVE_DECODE", "auto")
-    if native_mode == "on":
-        from .native import native_available
-
-        if not native_available():
-            raise RuntimeError(
-                "DATALOADER.NATIVE_DECODE=on but libd2tloader is not built "
-                "(run make -C native)"
-            )
-        use_native = True
-    elif native_mode == "off":
-        use_native = False
-    else:  # auto: pipe decides (JPEG paths + library present)
-        use_native = None
+    if isinstance(native_mode, bool):
+        # YAML 1.1 parses unquoted on/off as booleans — honor the intent.
+        native_mode = "on" if native_mode else "off"
+    if native_mode not in ("auto", "on", "off"):
+        raise ValueError(
+            f"DATALOADER.NATIVE_DECODE must be auto|on|off, got {native_mode!r}"
+        )
+    # on -> True (pipe validates library + JPEG paths exhaustively and fails
+    # clearly); off -> False (PIL-exact); auto -> None (pipe probes).
+    use_native = {"on": True, "off": False, "auto": None}[native_mode]
 
     train_tf = TrainTransform(
         size=tuple(cfg.INPUT.SIZE_TRAIN),

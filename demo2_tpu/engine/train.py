@@ -133,8 +133,12 @@ def build_train_step(cfg: Config, model, tx, center_tx, mesh=None, donate: bool 
         take = functools.partial(jnp.take, axis=0, mode="clip")
         # Images enter the model through dtype-casting flax modules, so
         # pre-casting to the compute dtype is bit-identical — and halves the
-        # pipelined carry's HBM traffic on the bf16 path.
-        cdtype = getattr(jnp, cfg.TPU.COMPUTE_DTYPE, jnp.float32)
+        # pipelined carry's HBM traffic on the bf16 path.  Resolution MUST
+        # match the model's own rule (models/demo.py::_dtype_of), not a
+        # second ad-hoc mapping.
+        from ..models.demo import _dtype_of
+
+        cdtype = _dtype_of(cfg)
 
         def _augment(cimg, idx, step, rng):
             key = jax.random.fold_in(jax.random.fold_in(rng, step), 0xA06)

@@ -145,5 +145,26 @@ def test_native_decode_on_fails_clearly(tiny_cfg):
         with pytest.raises(ValueError, match="JPEG"):
             make_dataloader(cfg)
     else:
-        with pytest.raises(RuntimeError, match="NATIVE_DECODE=on"):
+        with pytest.raises(RuntimeError, match="libd2tloader"):
             make_dataloader(cfg)
+
+
+def test_native_decode_yaml_bool_coercion(tiny_cfg, tmp_path):
+    """YAML 1.1 parses unquoted on/off as booleans; the loader must honor
+    the intent (reviewed round 4: bool False silently fell through to auto,
+    giving users the native decode they opted out of)."""
+    from demo2_tpu.config.yaml_loader import merge_yaml_file
+
+    f = tmp_path / "cfg.yml"
+    f.write_text("DATALOADER:\n  NATIVE_DECODE: off\n")
+    merge_yaml_file(tiny_cfg, str(f))
+    train_pipe, _, val_pipe, *_ = make_dataloader(tiny_cfg)
+    assert not train_pipe.use_native and not val_pipe.use_native
+
+
+def test_native_decode_rejects_garbage(tiny_cfg):
+    import pytest
+
+    tiny_cfg.DATALOADER.NATIVE_DECODE = "always"
+    with pytest.raises(ValueError, match="auto\\|on\\|off"):
+        make_dataloader(tiny_cfg)

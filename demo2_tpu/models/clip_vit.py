@@ -230,7 +230,10 @@ class ResidualAttentionBlock(nn.Module):
         # the kernel serializes an HBM write the XLA-scheduled unfused path
         # overlaps with GEMMs (495 vs 548 img/s train — docs/PERF.md).
         fuse_attn = self.attn_implementation == "pallas"
-        fuse = fuse_attn and deterministic
+        # int8_mlp must also disable the fused (bf16) MLP at eval — otherwise
+        # eval would silently run a different MLP numeric path than training
+        # (review round 4).
+        fuse = fuse_attn and deterministic and self.int8_mlp == "off"
         if fuse_attn:
             x = self._fused_attention(x)
         else:
@@ -320,7 +323,9 @@ class CLIPVisionTransformer(nn.Module):
 
         block_cls = ResidualAttentionBlock
         if self.remat:
-            block_cls = nn.remat(ResidualAttentionBlock)
+            # deterministic (arg 3: module, x, last_prompt, deterministic)
+            # selects the fused-kernel path in Python — static under remat.
+            block_cls = nn.remat(ResidualAttentionBlock, static_argnums=(3,))
         last_prompt = None
         for i in range(self.layers):
             blk = block_cls(

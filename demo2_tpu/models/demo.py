@@ -67,9 +67,13 @@ class _DeMoBase(nn.Module):
 
     @property
     def patch_grid(self) -> Tuple[int, int]:
-        h, w = self.cfg.INPUT.SIZE_TRAIN
-        sh, sw = self.cfg.MODEL.STRIDE_SIZE
-        return h // sh, w // sw
+        from .pife import patch_grid_for
+
+        return patch_grid_for(
+            self.cfg.MODEL.TRANSFORMER_TYPE,
+            tuple(self.cfg.INPUT.SIZE_TRAIN),
+            tuple(self.cfg.MODEL.STRIDE_SIZE),
+        )
 
     def _pife(self):
         cfg = self.cfg

@@ -97,9 +97,15 @@ class HDM(nn.Module):
             self.dtype
         )
 
-        scale = self.feat_dim ** -0.5
+        # Two DIFFERENT scales (review round 4 — they coincide only at
+        # feat_dim=64 where h=1): token init uses feat_dim**-0.5
+        # (AttnMOE.py:134-142 `scale * torch.randn`), attention logits use
+        # the PER-HEAD dim**-0.5 (nn.MultiheadAttention internal scaling,
+        # head_dim = 64 by construction).
+        scale = d ** -0.5
         tokens = self.param(
-            "set_tokens", nn.initializers.normal(scale), (NUM_SETS, c), f32
+            "set_tokens", nn.initializers.normal(self.feat_dim ** -0.5),
+            (NUM_SETS, c), f32,
         )
         in_proj = self.param(
             "in_proj_kernel", xavier_uniform_init, (NUM_SETS, c, 3 * c), f32

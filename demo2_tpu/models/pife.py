@@ -25,6 +25,30 @@ from flax import linen as nn
 from .clip_vit import CLIPVisionTransformer
 from .vit import ImageNetViT
 
+
+def patch_grid_for(
+    transformer_type: str, img_size, stride_size
+) -> Tuple[int, int]:
+    """Token-grid (gh, gw) per backbone — the ONE definition (review round
+    4: demo.py kept a divergent copy that crashed FRCA/SACR/LIF reshapes for
+    non-default strides).
+
+    ViT family (CLIP + ImageNet + deit/swin aliases): VALID 16-kernel patch
+    conv at the configured stride -> (H-16)//s + 1 per side (the reference's
+    h_resolution, make_model_clipreid.py:81; H//s coincides only when
+    16 % s == 0 and s | H).
+    """
+    h, w = img_size
+    if transformer_type.startswith("t2t"):
+        # Three soft splits with strides 4*2*2 = 16 (t2t.py:89-90).
+        return h // 16, w // 16
+    if transformer_type.startswith(("resnet", "osnet")):
+        # Both CNN trunks are 16-stride (resnet: stem+maxpool+layer2/3,
+        # last_stride=1; osnet: conv1+maxpool+two transitions).
+        return -(-h // 16), -(-w // 16)
+    sh, sw = stride_size
+    return (h - 16) // sh + 1, (w - 16) // sw + 1
+
 NUM_MODALITIES = 3  # RGB, NIR, TIR
 
 
@@ -84,21 +108,9 @@ class PIFE(nn.Module):
 
     @property
     def patch_grid(self) -> Tuple[int, int]:
-        if "ViT-B-16" in self.transformer_type:
-            return (
-                self.img_size[0] // self.stride_size[0],
-                self.img_size[1] // self.stride_size[1],
-            )
-        if self.transformer_type.startswith("t2t"):
-            # Three soft splits with strides 4*2*2 = 16 (t2t.py:89-90).
-            return self.img_size[0] // 16, self.img_size[1] // 16
-        if self.transformer_type.startswith(("resnet", "osnet")):
-            # Both CNN trunks are 16-stride (resnet: stem+maxpool+layer2/3,
-            # last_stride=1; osnet: conv1+maxpool+two transitions).
-            return -(-self.img_size[0] // 16), -(-self.img_size[1] // 16)
-        num_y = (self.img_size[0] - 16) // self.stride_size[0] + 1
-        num_x = (self.img_size[1] - 16) // self.stride_size[1] + 1
-        return num_y, num_x
+        return patch_grid_for(
+            self.transformer_type, self.img_size, self.stride_size
+        )
 
     @nn.compact
     def __call__(

@@ -223,7 +223,11 @@ class T2TViT(nn.Module):
             self.drop_path_rate * i / max(self.depth - 1, 1)
             for i in range(self.depth)
         ]
-        block_cls = nn.remat(ViTBlock) if self.remat else ViTBlock
+        # deterministic (arg 2; arg 0 is the module) is Python control flow
+        # in the block — static under remat.
+        block_cls = (
+            nn.remat(ViTBlock, static_argnums=(2,)) if self.remat else ViTBlock
+        )
         for i in range(self.depth):
             tokens = block_cls(
                 self.num_heads,

@@ -260,7 +260,11 @@ class ImageNetViT(nn.Module):
             x = nn.Dropout(self.drop_rate)(x, deterministic=False)
 
         dpr = [self.drop_path_rate * i / max(self.depth - 1, 1) for i in range(self.depth)]
-        block_cls = nn.remat(ViTBlock) if self.remat else ViTBlock
+        # deterministic (arg 2; arg 0 is the module) drives Python control
+        # flow (drop-path gating) — it must stay static under remat.
+        block_cls = (
+            nn.remat(ViTBlock, static_argnums=(2,)) if self.remat else ViTBlock
+        )
         for i in range(self.depth):
             x = block_cls(
                 self.num_heads,

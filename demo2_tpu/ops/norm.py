@@ -52,7 +52,11 @@ class TorchBatchNorm(nn.Module):
         else:
             xf = x.astype(jnp.float32)
             mean = jnp.mean(xf, axis=reduce_axes)
-            var = jnp.mean(jnp.square(xf), axis=reduce_axes) - jnp.square(mean)
+            # Centered form: E[(x-mean)^2].  The E[x^2]-E[x]^2 form can go
+            # NEGATIVE under fused f32 reductions when |mean| >> std (the
+            # hazard the LayerNorm below documents), NaN-ing rsqrt and
+            # poisoning the running stats.
+            var = jnp.mean(jnp.square(xf - mean), axis=reduce_axes)
             n = 1
             for a in reduce_axes:
                 n *= x.shape[a]

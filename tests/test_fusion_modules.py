@@ -132,7 +132,7 @@ def test_hdm_set_masking_matches_explicit_subsets():
     q = (tok @ wq + bq).reshape(h, d)
     k = (full_r @ wk + bk).reshape(b, n + 1, h, d)
     v = (full_r @ wv + bv).reshape(b, n + 1, h, d)
-    logits = jnp.einsum("hd,blhd->bhl", q, k) * (c ** -0.5)
+    logits = jnp.einsum("hd,blhd->bhl", q, k) * (d ** -0.5)
     probs = jax.nn.softmax(logits, axis=-1)
     o = jnp.einsum("bhl,blhd->bhd", probs, v).reshape(b, c)
     o = o @ P["out_proj_kernel"][0] + P["out_proj_bias"][0]

@@ -231,3 +231,38 @@ def test_deit_small_backbone(tiny_cfg):
     tiny_cfg.TPU.BACKBONE_DEPTH = 2  # tiny depth for CPU
     out, _ = _run(tiny_cfg, batch=2)
     assert out["embedding"].shape == (2, 3 * 384)
+
+
+def test_remat_backbone_trains(tiny_cfg):
+    """TPU.REMAT_BACKBONE must work in TRAIN mode: `deterministic` drives
+    Python control flow (drop-path / fused-kernel gating) inside the blocks,
+    so it must be a remat static arg (review round 4: nn.remat without
+    static_argnums raised TracerBoolConversionError for every config with
+    DROP_PATH > 0)."""
+    tiny_cfg.TPU.REMAT_BACKBONE = True
+    tiny_cfg.MODEL.DROP_PATH = 0.1
+    out, _ = _run(tiny_cfg, batch=2, train=True)
+    assert np.isfinite(np.asarray(out["embedding"])).all()
+
+
+def test_remat_backbone_trains_imagenet_vit(tiny_cfg):
+    tiny_cfg.MODEL.TRANSFORMER_TYPE = "vit_base_patch16_224"
+    tiny_cfg.TPU.REMAT_BACKBONE = True
+    tiny_cfg.MODEL.DROP_PATH = 0.1
+    tiny_cfg.TPU.BACKBONE_DEPTH = 2
+    tiny_cfg.TPU.BACKBONE_WIDTH = -1  # width override is CLIP-only
+    tiny_cfg.TPU.BACKBONE_HEADS = -1
+    out, _ = _run(tiny_cfg, batch=2, train=True)
+    assert np.isfinite(np.asarray(out["embedding"])).all()
+
+
+def test_nondivisible_stride_patch_grid(tiny_cfg):
+    """SIZE=(252,124), STRIDE=(12,12): the conv emits (H-16)//s+1 patches
+    per side (reference make_model_clipreid.py:81) — h//s would overcount
+    and break the positional embedding (review round 4)."""
+    tiny_cfg.INPUT.SIZE_TRAIN = (252, 124)
+    tiny_cfg.INPUT.SIZE_TEST = (252, 124)
+    tiny_cfg.MODEL.STRIDE_SIZE = (12, 12)
+    tiny_cfg.MODEL.USE_SACR = True  # exercises the (gh, gw) reshape path
+    out, _ = _run(tiny_cfg, batch=2, train=False)
+    assert np.isfinite(np.asarray(out["embedding"])).all()

@@ -382,11 +382,14 @@ def _general_fusion_cfg(hdm=True, atm=True):
     return cfg
 
 
-@pytest.mark.parametrize("use_atm", [False, True])
-def test_general_fusion_parity(use_atm):
+@pytest.mark.parametrize("use_atm,c", [(False, 64), (True, 64), (False, 128)])
+def test_general_fusion_parity(use_atm, c):
+    """c=128 runs 2 attention heads — it pins the PER-HEAD logit scale
+    (nn.MultiheadAttention's head_dim**-0.5), which c=64 (1 head) cannot
+    distinguish from feat_dim**-0.5 (review round 4)."""
     from demo2_tpu.models.hdm_atmoe import GeneralFusion
 
-    c, b, n, head = 64, 3, 6, 4
+    b, n, head = 3, 6, 4
     ref_mod = load_ref("modeling.moe.AttnMOE")
     tm = randomize(
         ref_mod.GeneralFusion(

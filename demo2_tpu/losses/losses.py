@@ -44,13 +44,15 @@ def cross_entropy_label_smooth(
 
 
 def euclidean_dist(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-    """Clamped-sqrt pairwise euclidean distance (triplet_loss.py:16-31)."""
-    x = x.astype(jnp.float32)
-    y = y.astype(jnp.float32)
-    xx = jnp.sum(jnp.square(x), axis=1, keepdims=True)
-    yy = jnp.sum(jnp.square(y), axis=1, keepdims=True).T
-    dist = xx + yy - 2.0 * x @ y.T
-    return jnp.sqrt(jnp.clip(dist, 1e-12))
+    """Clamped-sqrt pairwise euclidean distance (triplet_loss.py:16-31).
+
+    Delegates to metric_learning's batched form — one definition of the
+    clamp/sqrt numerics package-wide (metrics.euclidean_distance is the
+    deliberate squared variant: ranking only needs monotonicity).
+    """
+    from .metric_learning import _pairwise_dist
+
+    return _pairwise_dist(x.astype(jnp.float32), y.astype(jnp.float32))
 
 
 def batch_hard_triplet_loss(
@@ -100,10 +102,26 @@ def center_loss(centers: jnp.ndarray, feat: jnp.ndarray, labels: jnp.ndarray):
 
 
 def make_loss_fn(cfg: Config, num_classes: int) -> Callable:
-    """Per-branch loss closure (reference: make_loss.py:36-72).
+    """Per-branch loss closure (reference: make_loss.py:14,32-72).
 
-    Returns loss_fn(logits, feat, target) = ID_W * xent + TRI_W * triplet.
+    DATALOADER.SAMPLER selects the recipe exactly as the reference does:
+    'softmax' -> plain cross-entropy only (no label smooth, no triplet —
+    batch-hard mining is meaningless without PK batches); 'softmax_triplet'
+    (default) -> ID_W * xent + TRI_W * triplet.
     """
+    sampler = getattr(cfg.DATALOADER, "SAMPLER", "softmax_triplet")
+    if sampler == "softmax":
+
+        def ce_only(logits, feat, target):
+            return softmax_cross_entropy(logits, target)
+
+        return ce_only
+    if sampler != "softmax_triplet":
+        raise ValueError(
+            f"DATALOADER.SAMPLER must be softmax|softmax_triplet, got "
+            f"{sampler!r} (the reference accepts the same two working "
+            "values, make_loss.py:78-80)"
+        )
     use_smooth = cfg.MODEL.IF_LABELSMOOTH == "on"
     margin = None if cfg.MODEL.NO_MARGIN else cfg.SOLVER.MARGIN
     id_w = cfg.MODEL.ID_LOSS_WEIGHT

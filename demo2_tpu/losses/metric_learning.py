@@ -256,7 +256,8 @@ def hetero_loss(
         per = jax.nn.relu(1.0 - cos)
     else:
         raise ValueError(f"unknown dist_type {dist_type!r}")
-    return jnp.sum(jnp.abs(per) if dist_type in ("l2", "l1") else per)
+    # per is nonnegative in every branch (squares / absolute values / relu).
+    return jnp.sum(per)
 
 
 def multimodal_margin_loss(

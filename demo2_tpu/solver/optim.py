@@ -311,9 +311,14 @@ def make_optimizer(cfg: Config, params, steps_per_epoch: int):
         return optax.scale_by_adam(mu_dtype=mu_dtype)
 
     if name == "AdamW":
+        # Decoupled decay, SAME per-param grouping as Adam/SGD: the
+        # reference builds bias -> WEIGHT_DECAY_BIAS groups BEFORE choosing
+        # the optimizer (make_optimizer.py:11-13), so torch AdamW decays
+        # biases at wd_bias, not wd (review round 4).
         tx = optax.chain(
             adam_core(),
-            optax.add_decayed_weights(wd),  # decoupled
+            optax.masked(optax.add_decayed_weights(wd), nonbias_mask),
+            optax.masked(optax.add_decayed_weights(wd_bias), bias_mask),
             classifier_scale(),
             optax.scale_by_schedule(lambda s: -schedule(s)),
         )

@@ -214,9 +214,22 @@ def merge_pretrained_backbone(params: Dict, backbone_params: Dict) -> Dict:
 
     flat = flax.traverse_util.flatten_dict(params)
     new = flax.traverse_util.flatten_dict({"backbone": {"base": backbone_params}})
+    unmatched = []
     for k, v in new.items():
         if k in flat:
             if flat[k].shape != v.shape:
                 raise ValueError(f"shape mismatch for {k}: {flat[k].shape} vs {v.shape}")
             flat[k] = v.astype(flat[k].dtype)
+        else:
+            unmatched.append("/".join(map(str, k)))
+    if unmatched:
+        # Name drift must be LOUD — a silently-dropped tensor leaves those
+        # layers at random init (torch load_state_dict reports the same way).
+        import logging
+
+        logging.getLogger("DeMo").warning(
+            "merge_pretrained_backbone: %d converted tensors matched no "
+            "model param and were DROPPED (first: %s)",
+            len(unmatched), ", ".join(unmatched[:5]),
+        )
     return flax.traverse_util.unflatten_dict(flat)

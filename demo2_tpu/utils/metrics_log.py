@@ -86,17 +86,22 @@ class AsyncWriter:
             raise exc
 
     def submit(self, fn):
+        if getattr(self, "_closed", False):
+            # Enqueueing after close() would deadlock the next flush() (no
+            # consumer to task_done the item) — fail fast instead.
+            raise RuntimeError("AsyncWriter.submit() after close()")
         self._q.put(fn)
 
     def add_scalar(self, tag, value, step):
         if self.inner is not None:
-            self._q.put(lambda: self.inner.add_scalar(tag, float(value), int(step)))
+            self.submit(lambda: self.inner.add_scalar(tag, float(value), int(step)))
 
     def flush(self):
         self._q.join()
         self._check()
 
     def close(self):
+        self._closed = True
         self._q.put(None)
         self._t.join()
         self._check()

@@ -42,7 +42,12 @@ def gradcam_heatmaps(
     sal = jnp.sum(jnp.abs(g), axis=-1)  # (B, 3, H, W)
     sal = jnp.transpose(sal, (1, 0, 2, 3))  # (3, B, H, W)
     m, b, h, w = sal.shape
-    sal = sal.reshape(m, b, gh, h // gh, gw, w // gw).mean(axis=(3, 5))
+    # Overlapping-patch grids (non-default strides) need not divide the
+    # image — pool over the cropped divisible region (visualization only).
+    hh, ww = (h // gh) * gh, (w // gw) * gw
+    sal = sal[:, :, :hh, :ww].reshape(
+        m, b, gh, hh // gh, gw, ww // gw
+    ).mean(axis=(3, 5))
     lo = sal.min(axis=(2, 3), keepdims=True)
     hi = sal.max(axis=(2, 3), keepdims=True)
     return np.asarray((sal - lo) / (hi - lo + 1e-8))
@@ -129,7 +134,10 @@ def save_gradcam_overlays(
     for mi in range(m):
         for bi in range(b):
             cam = cams[mi, bi]
-            cam_up = np.kron(cam, np.ones((h // gh, w // gw)))  # nearest upsample
+            # Ceil-repeat then crop: exact (h, w) even when the grid does
+            # not divide the image (overlapping-patch strides).
+            ry, rx = -(-h // gh), -(-w // gw)
+            cam_up = np.repeat(np.repeat(cam, ry, 0), rx, 1)[:h, :w]
             heat = _jet(cam_up)  # (H, W, 3)
             img = images[bi, mi].astype(np.float32)
             img = (img - img.min()) / (img.max() - img.min() + 1e-8)

@@ -119,3 +119,34 @@ def test_parallel_loss_parity_flag():
     w = branch_weights(cfg, names)
     assert w["sdtps_rgb"] == 2.0
     assert all(w[n] == 1.0 for n in names if n != "sdtps_rgb")
+
+
+def test_sampler_softmax_is_plain_ce(tiny_cfg):
+    """DATALOADER.SAMPLER='softmax' -> plain cross-entropy only (reference
+    make_loss.py:32-34: no label smooth, no triplet); unknown values raise
+    (review round 4: the knob was silently ignored)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from demo2_tpu.losses.losses import make_loss_fn, softmax_cross_entropy
+
+    logits = jax.random.normal(jax.random.PRNGKey(0), (8, 6))
+    feat = jax.random.normal(jax.random.PRNGKey(1), (8, 16))
+    target = jnp.asarray([0, 0, 1, 1, 2, 2, 3, 3])
+
+    tiny_cfg.DATALOADER.SAMPLER = "softmax"
+    ce_only = make_loss_fn(tiny_cfg, 6)
+    np.testing.assert_allclose(
+        float(ce_only(logits, feat, target)),
+        float(softmax_cross_entropy(logits, target)), rtol=1e-6,
+    )
+
+    tiny_cfg.DATALOADER.SAMPLER = "softmax_triplet"
+    full = make_loss_fn(tiny_cfg, 6)
+    assert float(full(logits, feat, target)) != float(ce_only(logits, feat, target))
+
+    tiny_cfg.DATALOADER.SAMPLER = "triplet"
+    with pytest.raises(ValueError, match="SAMPLER"):
+        make_loss_fn(tiny_cfg, 6)

@@ -68,3 +68,17 @@ def test_async_writer_surfaces_worker_exceptions():
     with pytest.raises(ZeroDivisionError):
         w.flush()
     w.close()
+
+
+def test_async_writer_submit_after_close_raises():
+    """Review round 4: enqueueing after close() used to deadlock the next
+    flush() (no consumer thread) — must fail fast instead."""
+    import pytest
+
+    from demo2_tpu.utils.metrics_log import AsyncWriter
+
+    w = AsyncWriter()
+    w.submit(lambda: None)
+    w.close()
+    with pytest.raises(RuntimeError, match="after close"):
+        w.submit(lambda: None)

@@ -272,3 +272,28 @@ def test_cosine_noise_numpy_fallback(monkeypatch):
     for t, v in enumerate(vals):
         c = clean(t)
         assert abs(v - c) < 0.67 * c + 1e-12
+
+
+def test_adamw_respects_bias_decay_override():
+    """AdamW must use the same bias -> WEIGHT_DECAY_BIAS grouping as
+    Adam/SGD (reference builds param groups BEFORE picking the optimizer,
+    make_optimizer.py:11-13; review round 4: AdamW decayed everything)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from demo2_tpu.config import get_cfg_defaults
+    from demo2_tpu.solver.optim import make_optimizer
+
+    cfg = get_cfg_defaults()
+    cfg.SOLVER.OPTIMIZER_NAME = "AdamW"
+    cfg.SOLVER.WEIGHT_DECAY = 0.1
+    cfg.SOLVER.WEIGHT_DECAY_BIAS = 0.0
+    params = {"dense": {"kernel": jnp.ones((4, 4)), "bias": jnp.ones((4,))}}
+    tx, _, _ = make_optimizer(cfg, params, steps_per_epoch=10)
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+    updates, _ = tx.update(grads, state, params)
+    # Zero grads: the only update source is decoupled weight decay.
+    assert float(jnp.abs(updates["dense"]["kernel"]).max()) > 0.0
+    np.testing.assert_allclose(np.asarray(updates["dense"]["bias"]), 0.0)

@@ -26,8 +26,10 @@ def _coerce(old: Any, new: Any) -> Any:
             except (ValueError, SyntaxError):
                 return new
         return new
-    if isinstance(new, str):
+    if isinstance(new, str) and not isinstance(old, str):
         # yacs allows "None"/"True"/"(1,2)" style strings from CLI opts.
+        # A str-typed knob keeps its string verbatim ('None', '0', ... are
+        # VALUES there, not literals — TEST.MISS='None' must stay a str).
         try:
             lit = ast.literal_eval(new)
             return _coerce(old, lit)
@@ -39,12 +41,31 @@ def _coerce(old: Any, new: Any) -> Any:
         if isinstance(new, (int, float)):
             return bool(new)
         raise TypeError(f"Cannot coerce {new!r} to bool")
-    if isinstance(old, tuple) and isinstance(new, (list, tuple)):
-        return tuple(new)
-    if isinstance(old, int) and isinstance(new, float) and new.is_integer():
-        return int(new)
-    if isinstance(old, float) and isinstance(new, int):
-        return float(new)
+    if isinstance(old, tuple):
+        if isinstance(new, (list, tuple)):
+            return tuple(new)
+        raise TypeError(f"Expected a sequence for a tuple knob, got {new!r}")
+    if isinstance(old, int) and not isinstance(old, bool):
+        if isinstance(new, bool):
+            return int(new)
+        if isinstance(new, int):
+            return new
+        if isinstance(new, float) and new.is_integer():
+            return int(new)
+        raise TypeError(f"Cannot coerce {new!r} to int")
+    if isinstance(old, float):
+        if isinstance(new, (int, float)) and not isinstance(new, bool):
+            return float(new)
+        raise TypeError(f"Cannot coerce {new!r} to float")
+    if isinstance(old, str):
+        if isinstance(new, str):
+            return new
+        if isinstance(new, bool):
+            # YAML 1.1 parses unquoted on/off/yes/no as booleans; string
+            # enum knobs (e.g. DATALOADER.NATIVE_DECODE) normalize these
+            # themselves — pass through rather than guess a spelling.
+            return new
+        raise TypeError(f"Cannot coerce {new!r} to str")
     return new
 
 

@@ -55,9 +55,15 @@ class FeatureExtractor:
         return run
 
     def compile(self, miss: str = "None"):
-        """AOT-compile for a missing-modality configuration."""
-        if miss in self._compiled:
-            return self._compiled[miss]
+        """AOT-compile the extractor (shared across miss configurations).
+
+        The miss mask is a RUNTIME (3,) input, so one executable serves all
+        7 configurations — in-graph masking is the whole point of the
+        missing-modality design (engine/eval.MISS_MASKS; a per-miss compile
+        would pay ~minutes of cold remote compile 7x for identical HLO).
+        """
+        if self._compiled:
+            return next(iter(self._compiled.values()))
         h, w = self.cfg.INPUT.SIZE_TEST
         images = jax.ShapeDtypeStruct((self.batch_size, 3, h, w, 3), jnp.float32)
         cams = jax.ShapeDtypeStruct((self.batch_size,), jnp.int32)
@@ -66,19 +72,35 @@ class FeatureExtractor:
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.variables
         )
         compiled = jax.jit(self._fn()).lower(var_shapes, images, cams, mask).compile()
-        self._compiled[miss] = compiled
+        self._compiled["__shared__"] = compiled
         return compiled
 
     def extract(
         self,
-        images: np.ndarray,  # (N, 3, H, W, 3) float32, any N
+        images: np.ndarray,  # (N, 3, H, W, 3) float32, any N (incl. 0)
         camids: Optional[np.ndarray] = None,
         miss: str = "None",
     ) -> np.ndarray:
-        """Embed a ragged batch; pads to the compiled batch size internally."""
+        """Embed a ragged batch; pads to the compiled batch size internally.
+
+        ``images`` must already be transform-normalized, i.e.
+        (x/255 - INPUT.PIXEL_MEAN) / INPUT.PIXEL_STD per channel — the same
+        tensor the eval pipeline feeds the model (data/transforms.py
+        EvalTransform); raw [0, 1] images are an input distribution the
+        model never saw.
+        """
         compiled = self.compile(miss)
         mask = jnp.asarray(MISS_MASKS[miss], jnp.float32)
         n = images.shape[0]
+        if n == 0:  # empty request (drained queue / empty gallery shard)
+            h, w = self.cfg.INPUT.SIZE_TEST
+            out = compiled(
+                self.variables,
+                jnp.zeros((self.batch_size, 3, h, w, 3), jnp.float32),
+                jnp.zeros((self.batch_size,), jnp.int32),
+                mask,
+            )  # one dummy dispatch fixes the dim (and warms the executable)
+            return np.zeros((0, np.asarray(out).shape[-1]), np.float32)
         if camids is None:
             camids = np.zeros((n,), np.int32)
         outs = []

@@ -60,3 +60,26 @@ def test_unknown_key_raises(tmp_path):
     cfg = get_cfg_defaults()
     with pytest.raises(KeyError):
         cfg.merge_from_file(str(y))
+
+
+def test_coerce_strictness_and_str_verbatim():
+    """Review round 4: type-mismatched overrides must raise at merge time
+    (yacs semantics), and str knobs keep their strings VERBATIM ('None',
+    '0' are values, not literals)."""
+    import pytest
+
+    from demo2_tpu.config import get_cfg_defaults
+
+    cfg = get_cfg_defaults()
+    cfg.merge_from_list(["TEST.MISS", "None", "MODEL.DEVICE_ID", "0"])
+    assert cfg.TEST.MISS == "None" and isinstance(cfg.TEST.MISS, str)
+    assert cfg.MODEL.DEVICE_ID == "0" and isinstance(cfg.MODEL.DEVICE_ID, str)
+
+    with pytest.raises(TypeError):  # non-integral float into an int knob
+        get_cfg_defaults().merge_from_list(["SOLVER.MAX_EPOCHS", "2.5"])
+    with pytest.raises(TypeError):  # scalar into a tuple knob
+        get_cfg_defaults().merge_from_list(["INPUT.SIZE_TRAIN", "256"])
+    # Integral float -> int still coerces (yacs-style).
+    cfg2 = get_cfg_defaults()
+    cfg2.merge_from_list(["SOLVER.MAX_EPOCHS", "4.0"])
+    assert cfg2.SOLVER.MAX_EPOCHS == 4 and isinstance(cfg2.SOLVER.MAX_EPOCHS, int)

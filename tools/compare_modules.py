@@ -52,7 +52,12 @@ VARIANTS = {
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--tiny", action="store_true")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU platform (this box's bootstrap "
+                             "pins JAX_PLATFORMS=axon; see tools/train.py)")
     args = parser.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from demo2_tpu.utils.profiling import count_params, model_flops
 

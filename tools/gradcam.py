@@ -47,6 +47,10 @@ def main():
     cfg.merge_from_list(args.opts)
     cfg.freeze()
 
+    if cfg.MODEL.DEVICE == "cpu":
+        # MODEL.DEVICE=cpu forces the CPU platform (see tools/train.py).
+        jax.config.update("jax_platforms", "cpu")
+
     os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
     logger = setup_logger("DeMo", cfg.OUTPUT_DIR, if_train=False)
 

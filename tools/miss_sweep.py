@@ -42,6 +42,10 @@ def main():
     cfg.merge_from_list(args.opts)
     cfg.freeze()
 
+    if cfg.MODEL.DEVICE == "cpu":
+        # MODEL.DEVICE=cpu forces the CPU platform (see tools/train.py).
+        jax.config.update("jax_platforms", "cpu")
+
     logger = setup_logger("DeMo", cfg.OUTPUT_DIR, if_train=False)
     train_pipe, sampler, val_pipe, num_query, num_classes, cam_num, view_num = (
         make_dataloader(cfg)
@@ -58,14 +62,22 @@ def main():
         state = restore_checkpoint(cfg.TEST.WEIGHT, state)
 
     mesh = make_mesh(cfg.TPU.NUM_DEVICES)
-    eval_step = build_eval_step(cfg, model, mesh)
+    # Device cache pairing must match the step (as in do_inference): one
+    # decode, all 7 sweep passes from HBM.
+    val_cache = None
+    if cfg.TPU.DATA_CACHE == "device":
+        from demo2_tpu.data.device_cache import build_device_cache
+
+        val_cache = build_device_cache(val_pipe, mesh, train=False)
+    eval_step = build_eval_step(cfg, model, mesh, device_cache=val_cache)
 
     results = {}
     for miss in ("None", "r", "n", "t", "rn", "rt", "nt"):
         cfg.defrost()
         cfg.TEST.MISS = miss
         cfg.freeze()
-        cmc, mAP = run_eval(cfg, eval_step, state, val_pipe, num_query)
+        cmc, mAP = run_eval(cfg, eval_step, state, val_pipe, num_query,
+                            mesh=mesh, device_cache=val_cache)
         results[miss] = (mAP, cmc[0])
         logger.info("MISS=%-4s mAP=%.1f%% Rank-1=%.1f%%", miss, mAP * 100, cmc[0] * 100)
 

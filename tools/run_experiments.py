@@ -62,16 +62,32 @@ def main():
 
     Path(args.report).write_text(json.dumps(results, indent=2))
     # Markdown ablation table from per-run JSONL metrics (equivalent of the
-    # reference's experiment_result_summary/*.md reports).
+    # reference's experiment_result_summary/*.md reports).  Each run's
+    # metrics live under ITS OUTPUT_DIR (train.py writes
+    # <OUTPUT_DIR>/<exp_name>_metrics.jsonl), so resolve per experiment
+    # instead of assuming 'output/'.
     sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from demo2_tpu.config import get_cfg_defaults
     from demo2_tpu.utils.metrics_log import write_markdown_report
 
+    def _output_dir(config, opts):
+        cfg = get_cfg_defaults()
+        if config:
+            cfg.merge_from_file(config)
+        cfg.merge_from_list(list(opts))
+        return cfg.OUTPUT_DIR
+
+    by_name = {name: (config, opts) for name, config, opts in experiments}
     runs = {
-        r["name"]: str(Path("output") / f"{r['name']}_metrics.jsonl")
+        r["name"]: str(
+            Path(_output_dir(*by_name[r["name"]]))
+            / f"{r['name']}_metrics.jsonl"
+        )
         for r in results
     }
+    md_path = str(Path(args.report).with_suffix(".md"))
     try:
-        md = write_markdown_report(runs, "experiment_report.md")
+        md = write_markdown_report(runs, md_path)
         print(f"markdown report -> {md}")
     except Exception as e:
         print(f"report generation skipped: {e}")

@@ -57,7 +57,11 @@ def main():
     if args.config_file:
         cfg.merge_from_file(args.config_file)
     cfg.merge_from_list(args.opts)
-    cfg.TEST.FEAT = args.fea_cft  # reference: train_net.py:49
+    # Parity quirk: the reference stores --fea_cft into TEST.FEAT
+    # (train_net.py:49) and then never reads it anywhere — the knob is
+    # write-only there too. Mirrored verbatim; eval pattern selection is
+    # use_moe_eval-driven (engine/train.py), as in processor.py:145-156.
+    cfg.TEST.FEAT = args.fea_cft
     cfg.freeze()
 
     if cfg.MODEL.DEVICE == "cpu":
@@ -87,7 +91,13 @@ def main():
 
     steps_per_epoch = max(1, len(sampler) // cfg.SOLVER.IMS_PER_BATCH)
     rng = jax.random.PRNGKey(cfg.SOLVER.SEED)
-    sample = next(train_pipe.iter_batches(sampler.epoch_indices(0), seed=0))
+    # Slice to ONE batch of indices: feeding the full epoch would leave the
+    # pipe's producer thread decoding ahead into a queue nobody drains.
+    sample = next(
+        train_pipe.iter_batches(
+            sampler.epoch_indices(0)[: cfg.SOLVER.IMS_PER_BATCH], seed=0
+        )
+    )
     state, tx, center_tx, schedule = create_train_state(
         cfg, model, rng, sample, steps_per_epoch
     )
@@ -113,7 +123,15 @@ def main():
         logger.info("FLOP count unavailable: %s", e)
 
     # Optional pretrained backbone weights (reference: meta_arch.py:59,66-71).
-    if cfg.MODEL.PRETRAIN_PATH_T and os.path.exists(cfg.MODEL.PRETRAIN_PATH_T):
+    if cfg.MODEL.PRETRAIN_PATH_T:
+        if not os.path.exists(cfg.MODEL.PRETRAIN_PATH_T):
+            # A typo'd path must not silently train from random init (the
+            # reference crashes on the missing file).
+            raise FileNotFoundError(
+                f"MODEL.PRETRAIN_PATH_T={cfg.MODEL.PRETRAIN_PATH_T!r} does "
+                "not exist"
+            )
+        from demo2_tpu.models.pife import patch_grid_for
         from demo2_tpu.utils.converters import (
             convert_clip_visual,
             convert_imagenet_vit,
@@ -122,8 +140,12 @@ def main():
         )
 
         sd = load_torch_state_dict(cfg.MODEL.PRETRAIN_PATH_T)
-        gh = cfg.INPUT.SIZE_TRAIN[0] // cfg.MODEL.STRIDE_SIZE[0]
-        gw = cfg.INPUT.SIZE_TRAIN[1] // cfg.MODEL.STRIDE_SIZE[1]
+        # The model's OWN grid formula — h//s diverges for non-default
+        # strides and would graft a wrong-size positional embedding.
+        gh, gw = patch_grid_for(
+            cfg.MODEL.TRANSFORMER_TYPE, tuple(cfg.INPUT.SIZE_TRAIN),
+            tuple(cfg.MODEL.STRIDE_SIZE),
+        )
         if "ViT-B-16" in cfg.MODEL.TRANSFORMER_TYPE:
             bb = convert_clip_visual(sd, gh, gw)
         else:

@@ -137,16 +137,18 @@ class TriModalDataPipe:
             positions = range(len(indices))
         paths, params = [], []
         for k, idx in zip(positions, indices):
-            rng = np.random.default_rng((seed, int(idx), int(k)))
             ref = self.samples[idx][0]
             if isinstance(ref, str):  # wide-strip layout (RGBNT100)
                 strips = [(0, 0, 256, 128), (256, 0, 512, 128), (512, 0, 768, 128)]
                 items = [(ref, st) for st in strips]
             else:
                 items = [(p, None) for p in ref]
-            for path, st in items:
+            for m, (path, st) in enumerate(items):
                 paths.append(path)
                 if train:
+                    # Per-(sample, modality) stream, matching _load_one —
+                    # geometry draws are position-identical to the PIL path.
+                    rng = np.random.default_rng((seed, int(idx), int(k), m))
                     params.append(
                         sample_train_params(
                             rng, (h, w), self.transform.flip_prob,
@@ -161,11 +163,19 @@ class TriModalDataPipe:
         )
         return flat.reshape(len(indices), 3, h, w, 3)
 
-    def _load_one(self, idx: int, rng: np.random.Generator) -> np.ndarray:
+    def _load_one(self, idx: int, key: tuple) -> np.ndarray:
         ref = self.samples[idx][0]
         imgs = read_image(ref, self.dataset)
-        # Transforms applied independently per modality (bases.py:103-104).
-        return np.stack([self.transform(im, rng) for im in imgs])  # (3, H, W, 3)
+        # Transforms applied independently per modality (bases.py:103-104),
+        # each from its own (seed, idx, pos, modality) stream so the PIL and
+        # native paths draw IDENTICAL geometry: a shared per-sample stream
+        # would desynchronize after modality 1 (the native path draws a
+        # noise seed where the PIL path draws erase-fill normals; review
+        # round 4).
+        return np.stack([
+            self.transform(im, np.random.default_rng((*key, m)))
+            for m, im in enumerate(imgs)
+        ])  # (3, H, W, 3)
 
     def _make_batch(
         self, indices: np.ndarray, seed: int, pad_to: Optional[int],
@@ -182,11 +192,10 @@ class TriModalDataPipe:
         if self.use_native:
             images = self._native_batch_images(indices, seed, positions)
         else:
-            rngs = [
-                np.random.default_rng((seed, int(i), int(k)))
-                for k, i in zip(positions, indices)
+            keys = [
+                (seed, int(i), int(k)) for k, i in zip(positions, indices)
             ]
-            arrs = list(self.pool.map(self._load_one, indices, rngs))
+            arrs = list(self.pool.map(self._load_one, indices, keys))
             images = np.stack(arrs).astype(np.float32)
         meta = [self.samples[i] for i in indices]
         return Batch(
@@ -215,12 +224,17 @@ class TriModalDataPipe:
 
         q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         stop = object()
+        err: List[BaseException] = []
 
         def producer():
             try:
                 for ch in chunks:
                     pad = bs if pad_last else None
                     q.put(self._make_batch(np.asarray(ch), seed, pad))
+            except BaseException as e:  # re-raised in the consumer — a
+                # swallowed decode error would silently TRUNCATE the epoch
+                # (eval would score a partial feature set as if complete).
+                err.append(e)
             finally:
                 q.put(stop)
 
@@ -229,6 +243,8 @@ class TriModalDataPipe:
         while True:
             item = q.get()
             if item is stop:
+                if err:
+                    raise err[0]
                 break
             yield item
 

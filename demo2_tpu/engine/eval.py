@@ -124,7 +124,15 @@ def run_eval(
         reranking=cfg.TEST.RE_RANKING == "yes",
         scene_protocol=scene_protocol,
     )
-    mask = jnp.asarray(MISS_MASKS[str(cfg.TEST.MISS)], jnp.float32)
+    miss = str(cfg.TEST.MISS)
+    if miss not in MISS_MASKS:
+        # Reject typos ('R', 'rnt', ...) with the legal values instead of a
+        # bare KeyError after a full training epoch.
+        raise ValueError(
+            f"TEST.MISS={cfg.TEST.MISS!r} is not a valid missing-modality "
+            f"pattern; expected one of {sorted(MISS_MASKS)}"
+        )
+    mask = jnp.asarray(MISS_MASKS[miss], jnp.float32)
     order = np.arange(len(val_pipe.samples))
 
     if device_cache is not None:

@@ -88,10 +88,13 @@ def build_train_step(cfg: Config, model, tx, center_tx, mesh=None, donate: bool 
             if use_center and centers is not None:
                 # Center loss on the first branch's feature (dormant by
                 # default; reference: make_loss.py:15-16, processor.py:106-110).
+                # The reference hardcodes feat_dim=2048 centers (make_loss.py
+                # :15); compare over min(dims) so narrower backbones
+                # (osnet 512, deit_small 384) don't crash the broadcast.
                 first_feat = next(iter(branches.values()))[1]
-                cdim = centers.shape[-1]
+                cdim = min(centers.shape[-1], first_feat.shape[-1])
                 total = total + center_w * center_loss(
-                    centers, first_feat[..., :cdim], pids
+                    centers[:, :cdim], first_feat[..., :cdim], pids
                 )
             acc = jnp.mean((jnp.argmax(first_logits, -1) == pids).astype(jnp.float32))
             return total, (mutated["batch_stats"], acc)
@@ -484,9 +487,12 @@ def do_train(
                     epoch, dt, train_pipe.batch_size / dt,
                 )
 
-        if checkpoint_dir and ckpt_period and epoch % ckpt_period == 0 and primary:
-            save_checkpoint(checkpoint_dir, state, step=int(state.step),
-                            name=exp_name or cfg.MODEL.NAME)
+        # Checkpoint saves run on EVERY process: orbax's save performs
+        # global barriers (primary-only would deadlock rank 0; review r4).
+        # `mAP >= best` below is computed from the replicated eval output,
+        # so all hosts take the best-save branch consistently.
+        if checkpoint_dir and ckpt_period and epoch % ckpt_period == 0:
+            save_checkpoint(checkpoint_dir, state, step=int(state.step))
 
         if epoch % eval_period == 0 and val_pipe is not None:
             patterns = (1, 2, 3) if use_moe_eval and (cfg.MODEL.HDM or cfg.MODEL.ATM) else (3,)
@@ -507,12 +513,11 @@ def do_train(
                     {"mAP": mAP, "Rank-1": cmc[0], "Rank-5": cmc[4] if len(cmc) > 4 else 0.0,
                      "Rank-10": cmc[9] if len(cmc) > 9 else 0.0}
                 )
-                if checkpoint_dir and primary:
+                if checkpoint_dir:
                     # Best-mAP checkpoint in its own dir so periodic saves
                     # can't evict it (reference keeps best-only, :157-168).
                     save_checkpoint(checkpoint_dir + "_best", state,
-                                    step=int(state.step),
-                                    name=exp_name or cfg.MODEL.NAME)
+                                    step=int(state.step))
             if writer is not None and primary:
                 writer.add_scalar("Val/mAP", mAP, epoch)
                 writer.add_scalar("Val/Rank-1", float(cmc[0]), epoch)

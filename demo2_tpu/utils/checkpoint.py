@@ -22,7 +22,13 @@ def _manager(directory: str) -> ocp.CheckpointManager:
     )
 
 
-def save_checkpoint(directory: str, state, step: int, name: str = "ckpt"):
+def save_checkpoint(directory: str, state, step: int):
+    """Save the full train state.
+
+    Multi-host: EVERY process must call this (orbax's save performs global
+    barriers; a primary-only call deadlocks rank 0 against ranks that moved
+    on — review round 4).  Orbax itself elects the writer per shard.
+    """
     mgr = _manager(directory)
     mgr.save(step, args=ocp.args.StandardSave(state))
     mgr.wait_until_finished()

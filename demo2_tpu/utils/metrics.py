@@ -152,4 +152,15 @@ class R1mAPEvaluator:
             jnp.asarray(filt[nq:]),
             self.max_rank,
         )
+        # Reference parity: a protocol where NO query identity appears in
+        # the gallery is a broken split, not a 0-mAP model
+        # (utils/metrics.py "Error: all query identities do not appear in
+        # gallery" assert).
+        if not np.any(
+            np.isin(np.asarray(pids[:nq]), np.asarray(pids[nq:]))
+        ):
+            raise AssertionError(
+                "all query identities do not appear in gallery — check "
+                "num_query / the query-gallery split"
+            )
         return np.asarray(cmc), float(mAP)

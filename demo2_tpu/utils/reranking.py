@@ -127,6 +127,8 @@ def re_ranking_device(
         V = (topk2 @ V) / k2
 
     # Blocked Jaccard: temp_min[i, j] = sum_k min(V[i, k], V[j, k]).
+    # Fixed (64, 256) tiles — measured VMEM sweet spot; `block` only ever
+    # SHRINKS both dims (for tests/small galleries), it cannot enlarge them.
     bi = min(block, 64)
     bj = min(block, 256)
     nq_pad = -(-query_num // bi) * bi
@@ -134,7 +136,15 @@ def re_ranking_device(
     Vq = jnp.pad(V[:query_num], ((0, nq_pad - query_num), (0, 0)))
     Vg = jnp.pad(V, ((0, n_pad - n), (0, 0)))
 
-    if jax.default_backend() in ("tpu", "axon"):
+    # Branch on where the data actually LIVES, not the priority backend:
+    # under R1mAPEvaluator.compute(on_device=False) the inputs sit on CPU
+    # via jax.default_device even though default_backend() still says tpu —
+    # lowering the Pallas kernel there would crash (review round 4).
+    try:
+        platform = next(iter(Vq.devices())).platform
+    except Exception:  # non-committed arrays: fall back to the backend name
+        platform = jax.default_backend()
+    if platform in ("tpu", "axon"):
         # Pallas: the (bi, bj, N) broadcast stays in VMEM/registers.  The
         # XLA fallback below materializes a 315 MB HBM intermediate per
         # block pair — ~300 GB of traffic at RGBNT201 scale (measured

@@ -68,6 +68,31 @@ def run(out_path: str):
         cfg, model, jax.random.PRNGKey(0), batch,
         steps_per_epoch=max(1, len(sampler) // cfg.SOLVER.IMS_PER_BATCH),
     )
+
+    # ONE step from the common init, dumped separately: the tight
+    # cross-topology equivalence anchor.  Full-trajectory closeness across
+    # topologies is chaotic — batch-hard mining flips on reduction-order
+    # ulps (see the round-3 cross-check protocol) — so the parent asserts
+    # step-1 params tightly and the multi-epoch runs via host bit-equality
+    # + the mAP outcome band instead.
+    from demo2_tpu.engine.train import build_train_step
+    from demo2_tpu.parallel.mesh import make_mesh
+    from demo2_tpu.parallel.multihost import HostShardedBatches
+
+    mesh = make_mesh(cfg.TPU.NUM_DEVICES)
+    step_fn = build_train_step(cfg, model, tx, center_tx, mesh, donate=False)
+    gb = next(HostShardedBatches(train_pipe, mesh).iter_batches(
+        sampler.epoch_indices(1), seed=1
+    ))
+    s1, _ = step_fn(state, gb.images, gb.pids, gb.camids, gb.viewids,
+                    jax.random.PRNGKey(cfg.SOLVER.SEED))
+    p1 = np.concatenate(
+        [np.asarray(l, np.float32).ravel()
+         for l in jax.tree_util.tree_leaves(jax.device_get(s1.params))]
+    )
+    np.save(out_path + ".step1.npy", p1)
+    del s1, p1
+
     state, best = do_train(
         cfg, model, state, tx, center_tx, train_pipe, sampler, val_pipe,
         num_query, schedule=schedule,

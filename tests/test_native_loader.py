@@ -151,3 +151,30 @@ def test_batch_throughput_smoke(jpegs):
     assert np.isfinite(out).all()
     # very loose sanity bound — the box may be fully loaded during CI
     assert len(batch_paths) / dt > 20
+
+
+def test_train_geometry_parity_all_modalities(jpegs):
+    """Native vs PIL TRAIN pipes must draw IDENTICAL flip/crop geometry for
+    every modality (review round 4: a shared per-sample rng desynchronized
+    the streams after modality 1).  With erase disabled the two paths agree
+    to resize/JPEG tolerance on all 3 modalities; a geometry mismatch (a
+    flip or a 10px crop shift) would blow the bound by orders of magnitude.
+    """
+    from demo2_tpu.data.loader import TriModalDataPipe
+    from demo2_tpu.data.transforms import TrainTransform
+
+    paths, _wide = jpegs
+    samples = [
+        ((paths[0], paths[1], paths[2]), 0, 0, 0),
+        ((paths[3], paths[4], paths[5]), 1, 1, 0),
+    ]
+    tf = TrainTransform(size=(64, 32), re_prob=0.0)  # geometry only
+    nat = TriModalDataPipe(samples, None, tf, 2, num_workers=2)
+    assert nat.use_native
+    pil = TriModalDataPipe(samples, None, tf, 2, num_workers=2, use_native=False)
+    b_nat = next(nat.iter_batches(np.arange(2), seed=7))
+    b_pil = next(pil.iter_batches(np.arange(2), seed=7))
+    for m in range(3):
+        diff = np.abs(b_nat.images[:, m] - b_pil.images[:, m])
+        assert diff.mean() < 0.03, f"modality {m}: mean {diff.mean()}"
+        assert diff.max() < 0.5, f"modality {m}: max {diff.max()}"

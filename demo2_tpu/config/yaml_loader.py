@@ -18,7 +18,15 @@ import yaml
 from .defaults import _Node
 
 
-def _coerce(old: Any, new: Any) -> Any:
+# String-enum knobs that accept YAML 1.1 booleans (unquoted on/off/yes/no)
+# and normalize them at the consumer.  Every OTHER str knob rejects bools:
+# consumers compare against literal spellings ('on', 'yes', ...), so a
+# silently stored Python bool would flip the knob's meaning (e.g.
+# `TPU.INT8_MLP: off` parsing to False would ENABLE int8).
+_BOOL_OK_STR_KNOBS = frozenset({"DATALOADER.NATIVE_DECODE"})
+
+
+def _coerce(old: Any, new: Any, key: str = "") -> Any:
     if old is None:
         if isinstance(new, str):
             try:
@@ -32,7 +40,7 @@ def _coerce(old: Any, new: Any) -> Any:
         # VALUES there, not literals — TEST.MISS='None' must stay a str).
         try:
             lit = ast.literal_eval(new)
-            return _coerce(old, lit)
+            return _coerce(old, lit, key)
         except (ValueError, SyntaxError):
             pass
     if isinstance(old, bool):
@@ -61,10 +69,13 @@ def _coerce(old: Any, new: Any) -> Any:
         if isinstance(new, str):
             return new
         if isinstance(new, bool):
-            # YAML 1.1 parses unquoted on/off/yes/no as booleans; string
-            # enum knobs (e.g. DATALOADER.NATIVE_DECODE) normalize these
-            # themselves — pass through rather than guess a spelling.
-            return new
+            if key in _BOOL_OK_STR_KNOBS:
+                return new  # consumer normalizes (loader.py NATIVE_DECODE)
+            raise TypeError(
+                f"{key or 'knob'}: YAML parsed the value as boolean "
+                f"{new} (unquoted on/off/yes/no/true/false), but this is a "
+                f"string-enum knob — quote the value, e.g. 'on'"
+            )
         raise TypeError(f"Cannot coerce {new!r} to str")
     return new
 
@@ -79,7 +90,7 @@ def _merge_dict(node: _Node, data: dict, path: str = ""):
                 raise TypeError(f"Expected mapping for {path}{key}")
             _merge_dict(old, value, path=f"{path}{key}.")
         else:
-            setattr(node, key, _coerce(old, value))
+            setattr(node, key, _coerce(old, value, f"{path}{key}"))
 
 
 def merge_yaml_file(cfg: _Node, path: str):
@@ -102,5 +113,5 @@ def merge_opts_list(cfg: _Node, opts: List[Any]):
         for p in parts[:-1]:
             node = getattr(node, p)
         old = getattr(node, parts[-1])
-        setattr(node, parts[-1], _coerce(old, value))
+        setattr(node, parts[-1], _coerce(old, value, key))
     return cfg

@@ -25,7 +25,7 @@ from PIL import Image, ImageFile
 
 from ..config.defaults import Config
 from .datasets import DATASET_REGISTRY, SyntheticTriModal
-from .sampler import RandomIdentitySampler
+from .sampler import RandomIdentitySampler, SequentialSampler
 from .transforms import EvalTransform, TrainTransform
 
 ImageFile.LOAD_TRUNCATED_IMAGES = True  # reference: bases.py:6
@@ -287,10 +287,19 @@ def make_dataloader(cfg: Config):
         dataset.train, dataset, train_tf, cfg.SOLVER.IMS_PER_BATCH,
         cfg.DATALOADER.NUM_WORKERS, use_native=use_native,
     )
-    sampler = RandomIdentitySampler(
-        dataset.train, cfg.SOLVER.IMS_PER_BATCH, cfg.DATALOADER.NUM_INSTANCE,
-        seed=cfg.SOLVER.SEED,
-    )
+    sampler_mode = cfg.DATALOADER.SAMPLER
+    if "triplet" in sampler_mode:
+        # reference make_dataloader.py:213 — any *triplet* recipe gets PK.
+        sampler = RandomIdentitySampler(
+            dataset.train, cfg.SOLVER.IMS_PER_BATCH, cfg.DATALOADER.NUM_INSTANCE,
+            seed=cfg.SOLVER.SEED,
+        )
+    elif sampler_mode == "softmax":
+        sampler = SequentialSampler(dataset.train, cfg.SOLVER.IMS_PER_BATCH)
+    else:
+        raise ValueError(
+            f"DATALOADER.SAMPLER must be softmax or *triplet*, got {sampler_mode!r}"
+        )
     val_samples = list(dataset.query) + list(dataset.gallery)
     val_pipe = TriModalDataPipe(
         val_samples, dataset, eval_tf, cfg.TEST.IMS_PER_BATCH,

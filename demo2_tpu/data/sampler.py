@@ -59,3 +59,27 @@ class RandomIdentitySampler:
 
     def __len__(self):
         return self.length
+
+
+class SequentialSampler:
+    """DATALOADER.SAMPLER='softmax' batch order.
+
+    The reference's softmax branch builds a plain DataLoader with neither a
+    sampler nor shuffle=True (make_dataloader.py:234-239), i.e. SEQUENTIAL
+    dataset order every epoch.  Mirrored here with the same epoch_indices
+    interface as RandomIdentitySampler; the one deviation is that the
+    short tail batch is dropped (static XLA shapes need whole batches —
+    the reference's CE-only recipe tolerates a ragged last batch).
+    """
+
+    def __init__(self, data_source: Sequence, batch_size: int):
+        self.batch_size = batch_size
+        n = len(data_source)
+        self.length = n - n % batch_size
+
+    def epoch_indices(self, epoch: int) -> np.ndarray:
+        del epoch  # sequential order is epoch-invariant, like the reference
+        return np.arange(self.length, dtype=np.int64)
+
+    def __len__(self):
+        return self.length

@@ -296,7 +296,6 @@ def do_train(
     schedule=None,
     mesh=None,
     writer=None,
-    exp_name: Optional[str] = None,
     checkpoint_dir: Optional[str] = None,
 ):
     """Epoch loop (reference: processor.py:12-189)."""

@@ -89,18 +89,23 @@ class FeatureExtractor:
         EvalTransform); raw [0, 1] images are an input distribution the
         model never saw.
         """
-        compiled = self.compile(miss)
-        mask = jnp.asarray(MISS_MASKS[miss], jnp.float32)
         n = images.shape[0]
         if n == 0:  # empty request (drained queue / empty gallery shard)
+            # Shape-only trace — no device dispatch for a zero-size request.
             h, w = self.cfg.INPUT.SIZE_TEST
-            out = compiled(
-                self.variables,
-                jnp.zeros((self.batch_size, 3, h, w, 3), jnp.float32),
-                jnp.zeros((self.batch_size,), jnp.int32),
-                mask,
-            )  # one dummy dispatch fixes the dim (and warms the executable)
-            return np.zeros((0, np.asarray(out).shape[-1]), np.float32)
+            out = jax.eval_shape(
+                self._fn(),
+                jax.tree_util.tree_map(
+                    lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                    self.variables,
+                ),
+                jax.ShapeDtypeStruct((self.batch_size, 3, h, w, 3), jnp.float32),
+                jax.ShapeDtypeStruct((self.batch_size,), jnp.int32),
+                jax.ShapeDtypeStruct((3,), jnp.float32),
+            )
+            return np.zeros((0, out.shape[-1]), np.float32)
+        compiled = self.compile(miss)
+        mask = jnp.asarray(MISS_MASKS[miss], jnp.float32)
         if camids is None:
             camids = np.zeros((n,), np.int32)
         outs = []

@@ -124,6 +124,17 @@ class R1mAPEvaluator:
         nq = self.num_query
         qf, gf = f[:nq], f[nq:]
 
+        # Reference parity: a protocol where NO query identity appears in
+        # the gallery is a broken split, not a 0-mAP model (utils/metrics.py
+        # "Error: all query identities do not appear in gallery" assert).
+        # Checked BEFORE the distmat/re-ranking pass — metadata alone decides
+        # it, and re-ranking at dataset scale costs minutes.
+        if not np.any(np.isin(np.asarray(pids[:nq]), np.asarray(pids[nq:]))):
+            raise AssertionError(
+                "all query identities do not appear in gallery — check "
+                "num_query / the query-gallery split"
+            )
+
         if self.reranking:
             # k1=50, k2=15, lambda=0.3 (reference: metrics.py:357-359).
             from .reranking import re_ranking_device
@@ -152,15 +163,4 @@ class R1mAPEvaluator:
             jnp.asarray(filt[nq:]),
             self.max_rank,
         )
-        # Reference parity: a protocol where NO query identity appears in
-        # the gallery is a broken split, not a 0-mAP model
-        # (utils/metrics.py "Error: all query identities do not appear in
-        # gallery" assert).
-        if not np.any(
-            np.isin(np.asarray(pids[:nq]), np.asarray(pids[nq:]))
-        ):
-            raise AssertionError(
-                "all query identities do not appear in gallery — check "
-                "num_query / the query-gallery split"
-            )
         return np.asarray(cmc), float(mAP)

@@ -50,6 +50,12 @@ for s in ${STEPS}; do
     profile)
       run profile python tools/profile_trace.py --log-dir logs/r4/profile
       ;;
+    chunksweep)
+      # K = steps per dispatch; cheap once the executable is warm.
+      for k in 2 5 10 20; do
+        run "chunk_k${k}" python bench.py --chunk "${k}"
+      done
+      ;;
     kernels)
       # Pallas kernels on real hardware (suite-gated tests).
       run kernels env DEMO2_TEST_TPU=1 python -m pytest tests/test_tpu_kernels.py -q

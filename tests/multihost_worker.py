@@ -63,7 +63,12 @@ def run(out_path: str):
     model = make_model(cfg, nc, cams, views)
     # Init batch: every process decodes the SAME full first batch (init only
     # shapes the params; values are irrelevant but determinism keeps it tidy).
-    batch = next(train_pipe.iter_batches(sampler.epoch_indices(0), seed=0))
+    # Slice to exactly one batch of indices — feeding the full epoch would
+    # leave the pipe's producer thread decoding ahead (same hazard fixed in
+    # tools/train.py's init batch).
+    batch = next(train_pipe.iter_batches(
+        sampler.epoch_indices(0)[: cfg.SOLVER.IMS_PER_BATCH], seed=0
+    ))
     state, tx, center_tx, schedule = create_train_state(
         cfg, model, jax.random.PRNGKey(0), batch,
         steps_per_epoch=max(1, len(sampler) // cfg.SOLVER.IMS_PER_BATCH),
@@ -82,7 +87,7 @@ def run(out_path: str):
     mesh = make_mesh(cfg.TPU.NUM_DEVICES)
     step_fn = build_train_step(cfg, model, tx, center_tx, mesh, donate=False)
     gb = next(HostShardedBatches(train_pipe, mesh).iter_batches(
-        sampler.epoch_indices(1), seed=1
+        sampler.epoch_indices(1)[: cfg.SOLVER.IMS_PER_BATCH], seed=1
     ))
     s1, _ = step_fn(state, gb.images, gb.pids, gb.camids, gb.viewids,
                     jax.random.PRNGKey(cfg.SOLVER.SEED))
@@ -101,12 +106,7 @@ def run(out_path: str):
         [np.asarray(l, np.float32).ravel()
          for l in jax.tree_util.tree_leaves(jax.device_get(state.params))]
     )
-    bs_flat = np.concatenate(
-        [np.asarray(l, np.float32).ravel()
-         for l in jax.tree_util.tree_leaves(jax.device_get(state.batch_stats))]
-    )
     np.save(out_path + ".params.npy", flat)
-    np.save(out_path + ".bs.npy", bs_flat)
     with open(out_path, "w") as f:
         json.dump(
             {

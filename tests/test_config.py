@@ -83,3 +83,34 @@ def test_coerce_strictness_and_str_verbatim():
     cfg2 = get_cfg_defaults()
     cfg2.merge_from_list(["SOLVER.MAX_EPOCHS", "4.0"])
     assert cfg2.SOLVER.MAX_EPOCHS == 4 and isinstance(cfg2.SOLVER.MAX_EPOCHS, int)
+
+
+def test_yaml_bool_into_str_knob_raises(tmp_path):
+    """Review round 4: YAML 1.1 parses unquoted on/off/yes/no as booleans.
+    Storing the bool into a str-enum knob silently flips its meaning
+    (`TPU.INT8_MLP: off` -> False would ENABLE int8), so merge must raise
+    with a quote-the-value hint — except DATALOADER.NATIVE_DECODE, whose
+    consumer documents and normalizes bool input."""
+    import pytest
+
+    from demo2_tpu.config import get_cfg_defaults
+
+    y = tmp_path / "unquoted.yml"
+    y.write_text("TPU:\n  INT8_MLP: off\n")
+    with pytest.raises(TypeError, match="quote"):
+        get_cfg_defaults().merge_from_file(str(y))
+
+    y2 = tmp_path / "smooth.yml"
+    y2.write_text("MODEL:\n  IF_LABELSMOOTH: on\n")
+    with pytest.raises(TypeError, match="quote"):
+        get_cfg_defaults().merge_from_file(str(y2))
+
+    # Quoted spelling works, and the whitelisted knob accepts bools.
+    y3 = tmp_path / "ok.yml"
+    y3.write_text(
+        "MODEL:\n  IF_LABELSMOOTH: 'on'\nDATALOADER:\n  NATIVE_DECODE: on\n"
+    )
+    cfg = get_cfg_defaults()
+    cfg.merge_from_file(str(y3))
+    assert cfg.MODEL.IF_LABELSMOOTH == "on"
+    assert cfg.DATALOADER.NATIVE_DECODE is True  # loader normalizes to 'on'

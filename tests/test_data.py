@@ -168,3 +168,27 @@ def test_native_decode_rejects_garbage(tiny_cfg):
     tiny_cfg.DATALOADER.NATIVE_DECODE = "always"
     with pytest.raises(ValueError, match="auto\\|on\\|off"):
         make_dataloader(tiny_cfg)
+
+
+def test_softmax_sampler_sequential(tiny_cfg):
+    """DATALOADER.SAMPLER='softmax' mirrors the reference's plain DataLoader
+    (no sampler, no shuffle => sequential order, make_dataloader.py:234-239);
+    the PK structure must be gone."""
+    import copy
+
+    from demo2_tpu.data.sampler import SequentialSampler
+
+    cfg = copy.deepcopy(tiny_cfg)
+    cfg.DATALOADER.SAMPLER = "softmax"
+    _, sampler, *_ = make_dataloader(cfg)
+    assert isinstance(sampler, SequentialSampler)
+    order = sampler.epoch_indices(0)
+    np.testing.assert_array_equal(order, np.arange(len(order)))
+    assert len(order) % cfg.SOLVER.IMS_PER_BATCH == 0  # drop-last tail
+    np.testing.assert_array_equal(order, sampler.epoch_indices(3))
+
+    cfg.DATALOADER.SAMPLER = "nonsense"
+    import pytest
+
+    with pytest.raises(ValueError, match="SAMPLER"):
+        make_dataloader(cfg)

@@ -140,7 +140,7 @@ def main():
     t0 = time.perf_counter()
     state, best = do_train(
         cfg, model, state, tx, center_tx, train_pipe, sampler, val_pipe, nq,
-        schedule=schedule, mesh=mesh, writer=rec, exp_name="quality_gate",
+        schedule=schedule, mesh=mesh, writer=rec,
     )
     wall = time.perf_counter() - t0
 

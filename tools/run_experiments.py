@@ -78,15 +78,18 @@ def main():
         return cfg.OUTPUT_DIR
 
     by_name = {name: (config, opts) for name, config, opts in experiments}
-    runs = {
-        r["name"]: str(
-            Path(_output_dir(*by_name[r["name"]]))
-            / f"{r['name']}_metrics.jsonl"
-        )
-        for r in results
-    }
     md_path = str(Path(args.report).with_suffix(".md"))
     try:
+        # Resolving each run's OUTPUT_DIR re-merges its config file — a bad
+        # config (exactly the runs that just failed) must skip the report,
+        # not crash the summary below.
+        runs = {
+            r["name"]: str(
+                Path(_output_dir(*by_name[r["name"]]))
+                / f"{r['name']}_metrics.jsonl"
+            )
+            for r in results
+        }
         md = write_markdown_report(runs, md_path)
         print(f"markdown report -> {md}")
     except Exception as e:

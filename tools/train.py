@@ -189,7 +189,6 @@ def main():
         schedule=schedule,
         mesh=mesh,
         writer=writer,
-        exp_name=args.exp_name,
         checkpoint_dir=os.path.join(output_dir, "checkpoints"),
     )
     logger.info("Training done. Best: %s", best)

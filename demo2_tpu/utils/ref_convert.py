@@ -627,3 +627,75 @@ def convert_demo_parallel(sd, cfg) -> Tuple[Tree, Tree]:
     gp, _ = convert_global_local(sd)
     params["gl_fuse"] = gp
     return params, stats
+
+
+def graft(variables, params, stats=None, require_full_params=True,
+          allow_missing_in_model=False):
+    """Replace variables['params'] leaves with converted arrays (strict).
+
+    `variables` is ``{"params": ..., "batch_stats": ...}`` from a freshly
+    initialized model; `params`/`stats` come from a ``convert_*`` function.
+    Shapes are asserted leaf-by-leaf.  `allow_missing_in_model` skips
+    converted keys absent from the model — needed for full assemblies,
+    where the reference constructs modules its forward never uses (e.g.
+    the reduce stacks when GLOBAL_LOCAL is off).  `require_full_params`
+    asserts every model param was covered (no silently random leaves).
+    """
+    import flax
+    import jax.numpy as jnp
+
+    var = flax.core.unfreeze(variables)
+    fv = flax.traverse_util.flatten_dict(var["params"])
+    fc = flax.traverse_util.flatten_dict(params)
+    for k, v in fc.items():
+        if k not in fv:
+            assert allow_missing_in_model, (
+                f"converted param {'/'.join(k)} missing from model"
+            )
+            continue
+        v = np.asarray(v)
+        assert fv[k].shape == v.shape, (k, fv[k].shape, v.shape)
+        fv[k] = jnp.asarray(v, jnp.float32)
+    if require_full_params:
+        uncovered = set(fv) - set(fc)
+        assert not uncovered, (
+            f"model params NOT covered by conversion: "
+            f"{sorted('/'.join(k) for k in uncovered)}"
+        )
+    var["params"] = flax.traverse_util.unflatten_dict(fv)
+    if stats:
+        fs = flax.traverse_util.flatten_dict(var.get("batch_stats", {}))
+        fcs = flax.traverse_util.flatten_dict(stats)
+        for k, v in fcs.items():
+            if k not in fs:
+                assert allow_missing_in_model, (
+                    f"converted stat {'/'.join(k)} missing from model"
+                )
+                continue
+            fs[k] = jnp.asarray(np.asarray(v), jnp.float32)
+        var["batch_stats"] = flax.traverse_util.unflatten_dict(fs)
+    return var
+
+
+def load_reference_checkpoint(state, path: str, cfg):
+    """Load a reference-trained torch ``.pth``/``.pt`` DeMo checkpoint into a
+    demo2_tpu TrainState — the one-call migration path for reference users
+    (their ``torch.save(model.state_dict())`` files evaluate directly).
+
+    Dispatches on MODEL.ARCH like models/factory.py: DeMo_Parallel uses
+    convert_demo_parallel, everything else (DeMo / DeMoBeiyong) convert_demo.
+    """
+    from .converters import load_torch_state_dict
+
+    sd = load_torch_state_dict(path)
+    if getattr(cfg.MODEL, "ARCH", "DeMo") == "DeMo_Parallel":
+        params, stats = convert_demo_parallel(sd, cfg)
+    else:
+        params, stats = convert_demo(sd, cfg)
+    variables = graft(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        params, stats, require_full_params=True, allow_missing_in_model=True,
+    )
+    return state.replace(
+        params=variables["params"], batch_stats=variables["batch_stats"]
+    )

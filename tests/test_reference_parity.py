@@ -51,45 +51,10 @@ def randomize(mod, seed=0):
     return mod
 
 
-def graft(variables, params, stats=None, require_full_params=True,
-          allow_missing_in_model=False):
-    """Replace variables['params'] leaves with converted arrays (strict).
-
-    `allow_missing_in_model` skips converted keys absent from the model —
-    needed for full assemblies, where the reference constructs modules its
-    forward never uses (e.g. the reduce stacks when GLOBAL_LOCAL is off).
-    """
-    var = flax.core.unfreeze(variables)
-    fv = flax.traverse_util.flatten_dict(var["params"])
-    fc = flax.traverse_util.flatten_dict(params)
-    for k, v in fc.items():
-        if k not in fv:
-            assert allow_missing_in_model, (
-                f"converted param {'/'.join(k)} missing from model"
-            )
-            continue
-        v = np.asarray(v)
-        assert fv[k].shape == v.shape, (k, fv[k].shape, v.shape)
-        fv[k] = jnp.asarray(v, jnp.float32)
-    if require_full_params:
-        uncovered = set(fv) - set(fc)
-        assert not uncovered, (
-            f"model params NOT covered by conversion: "
-            f"{sorted('/'.join(k) for k in uncovered)}"
-        )
-    var["params"] = flax.traverse_util.unflatten_dict(fv)
-    if stats:
-        fs = flax.traverse_util.flatten_dict(var.get("batch_stats", {}))
-        fcs = flax.traverse_util.flatten_dict(stats)
-        for k, v in fcs.items():
-            if k not in fs:
-                assert allow_missing_in_model, (
-                    f"converted stat {'/'.join(k)} missing from model"
-                )
-                continue
-            fs[k] = jnp.asarray(np.asarray(v), jnp.float32)
-        var["batch_stats"] = flax.traverse_util.unflatten_dict(fs)
-    return var
+# graft moved into the package (demo2_tpu.utils.ref_convert) so the CLI
+# torch-checkpoint loading path shares the strict shape-checked grafting the
+# parity suite uses; re-exported here for the other test modules.
+from demo2_tpu.utils.ref_convert import graft  # noqa: E402
 
 
 def allclose(a, b, rtol=1e-4, atol=1e-5):
@@ -643,5 +608,47 @@ def test_demo_missing_modality_parity():
     out = jm.apply(
         variables, jnp.asarray(imgs), jnp.asarray(cams),
         modality_mask=jnp.asarray(MISS_MASKS["nt"]), train=False,
+    )
+    allclose(out["embedding"], ref_feat, rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.slow
+def test_torch_pth_checkpoint_load(tmp_path):
+    """Migration path: a reference ``torch.save(model.state_dict())`` file
+    loads through ref_convert.load_reference_checkpoint (the branch
+    tools/test.py takes for TEST.WEIGHT=*.pth) with forward parity."""
+    from demo2_tpu.models import make_model
+    from demo2_tpu.utils.ref_convert import load_reference_checkpoint
+
+    num_classes, camera_num, b = 7, 4, 2
+    cfg = _tpu_cfg(**DEMO_CONFIGS["sdtps_dgaf_v3"])
+    cfg.freeze()
+    tm = _build_ref_demo(cfg, num_classes, camera_num, seed=33)
+    p = tmp_path / "ref_demo.pth"
+    torch.save(tm.state_dict(), str(p))
+
+    h, w = cfg.INPUT.SIZE_TRAIN
+    imgs, cams, t_in = _tri_modal_inputs(5, b, h, w, camera_num)
+    with torch.no_grad():
+        ref_feat = tm(t_in, cam_label=torch.from_numpy(cams)).numpy()
+
+    jm = make_model(cfg, num_classes, camera_num)
+    variables = jm.init(RNG, jnp.asarray(imgs), jnp.asarray(cams), train=False)
+
+    class _State:
+        def __init__(self, params, batch_stats):
+            self.params, self.batch_stats = params, batch_stats
+
+        def replace(self, **kw):
+            return _State(kw.get("params", self.params),
+                          kw.get("batch_stats", self.batch_stats))
+
+    state = load_reference_checkpoint(
+        _State(variables["params"], variables.get("batch_stats", {})),
+        str(p), cfg,
+    )
+    out = jm.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        jnp.asarray(imgs), jnp.asarray(cams), train=False,
     )
     allclose(out["embedding"], ref_feat, rtol=5e-4, atol=5e-4)

@@ -3,6 +3,10 @@
 Usage:
     python tools/test.py --config_file configs/RGBNT201/DeMo.yml \
         TEST.WEIGHT /path/to/checkpoints [TEST.MISS nt] [opts ...]
+
+TEST.WEIGHT accepts either an orbax checkpoint directory (trained here) or a
+reference-trained torch ``.pth``/``.pt`` state dict, which is converted on
+load (utils/ref_convert) — see docs/MIGRATION.md.
 """
 
 from __future__ import annotations
@@ -60,10 +64,22 @@ def main():
     state, *_ = create_train_state(cfg, model, rng, sample, 1)
 
     if cfg.TEST.WEIGHT:
-        from demo2_tpu.utils.checkpoint import restore_checkpoint
+        if cfg.TEST.WEIGHT.endswith((".pth", ".pt")):
+            # Reference-trained torch checkpoint (the reference's
+            # torch.save(model.state_dict()) files, test_net.py:30):
+            # converted in place so reference users evaluate existing
+            # models with no extra step.
+            from demo2_tpu.utils.ref_convert import load_reference_checkpoint
 
-        state = restore_checkpoint(cfg.TEST.WEIGHT, state)
-        logger.info("Loaded checkpoint from %s", cfg.TEST.WEIGHT)
+            state = load_reference_checkpoint(state, cfg.TEST.WEIGHT, cfg)
+            logger.info(
+                "Converted reference torch checkpoint %s", cfg.TEST.WEIGHT
+            )
+        else:
+            from demo2_tpu.utils.checkpoint import restore_checkpoint
+
+            state = restore_checkpoint(cfg.TEST.WEIGHT, state)
+            logger.info("Loaded checkpoint from %s", cfg.TEST.WEIGHT)
 
     mesh = make_mesh(cfg.TPU.NUM_DEVICES)
     cmc, mAP = do_inference(

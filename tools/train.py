@@ -40,6 +40,11 @@ def main():
     )
     parser.add_argument("--resume", default="", type=str,
                         help="checkpoint dir to resume the full train state from")
+    parser.add_argument("--init_pth", default="", type=str,
+                        help="reference-trained torch .pth state dict to "
+                        "initialize the FULL model from (fine-tune a model "
+                        "trained with the reference framework; params + "
+                        "batch stats only, optimizer state starts fresh)")
     parser.add_argument("opts", nargs=argparse.REMAINDER)
     args = parser.parse_args()
 
@@ -152,6 +157,16 @@ def main():
             bb = convert_imagenet_vit(sd, gh, gw)
         state = state.replace(params=merge_pretrained_backbone(state.params, bb))
         logger.info("Loaded pretrained backbone from %s", cfg.MODEL.PRETRAIN_PATH_T)
+
+    if args.init_pth:
+        # Full-model init from a reference-trained torch checkpoint — the
+        # fine-tune side of the migration path (docs/MIGRATION.md).  Applied
+        # before --resume so an orbax resume still wins if both are given.
+        from demo2_tpu.utils.ref_convert import load_reference_checkpoint
+
+        state = load_reference_checkpoint(state, args.init_pth, cfg)
+        logger.info("Initialized model from reference checkpoint %s",
+                    args.init_pth)
 
     if args.resume:
         from demo2_tpu.utils.checkpoint import restore_checkpoint

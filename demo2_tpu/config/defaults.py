@@ -289,9 +289,12 @@ class TPUConfig:
     DATA_CACHE: str = "host"
     # Chunked-scan dispatch: augment batch k+1 inside iteration k so the
     # VPU-bound augment can overlap the MXU-bound model step (bit-identical
-    # trajectory; engine/train.py).  Off = augment serially in front of each
-    # step (the round-3 layout) — kept for A/B measurement.
-    PIPELINED_AUGMENT: bool = True
+    # trajectory; engine/train.py).  Measured on v5e (2026-08-19 A/B,
+    # logs/r4): pipelining is a ~0.6% REGRESSION (566.2 vs 569.9 img/s) —
+    # XLA already overlaps the in-scan augment with the step, and the
+    # carried next-batch buffer only adds HBM traffic.  Default off; kept
+    # for re-measurement on other topologies.
+    PIPELINED_AUGMENT: bool = False
 
 
 @_node

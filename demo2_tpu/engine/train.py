@@ -158,7 +158,7 @@ def build_train_step(cfg: Config, model, tx, center_tx, mesh=None, donate: bool 
             )
 
         if scan_steps and scan_steps > 0 and not getattr(
-            cfg.TPU, "PIPELINED_AUGMENT", True
+            cfg.TPU, "PIPELINED_AUGMENT", False
         ):
             # Round-3 layout (A/B baseline): augment serially inside each
             # scan iteration, directly in front of the model step.

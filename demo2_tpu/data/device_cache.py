@@ -107,16 +107,37 @@ def apply_augment(
     std: Sequence[float],
     padding: int = 10,
 ) -> jnp.ndarray:
-    """uint8 (B, 3, H, W, 3) -> augmented float32, host-pipeline order."""
+    """uint8 (B, 3, H, W, 3) -> augmented float32, host-pipeline order.
+
+    The host chain is flip -> /255 -> pad(0) -> crop -> normalize
+    (data/transforms.py; reference make_dataloader.py:188-196).  All of
+    flip/pad/crop are index permutations, so they are FOLDED into one
+    clamped-index gather on the uint8 data (out-of-pad positions masked to
+    the pad value before normalize).  vs. the naive chain this removes five
+    full-size float32 materializations per step (~0.5 GB/step of HBM
+    traffic at the flagship batch) while staying bit-identical: every
+    surviving float op (/255, zero-mask, -mean, /std) is elementwise in the
+    same order.
+    """
     b, m, h, w, c = u8.shape
-    x = u8.astype(jnp.float32) / 255.0
-    x = jnp.where(params["flip"][..., None, None, None], x[:, :, :, ::-1, :], x)
     p = padding
-    x = jnp.pad(x, ((0, 0), (0, 0), (p, p), (p, p), (0, 0)))
-    rows = params["crop_top"][..., None] + jnp.arange(h)  # (B, 3, h)
-    x = jnp.take_along_axis(x, rows[..., None, None], axis=2)
-    cols = params["crop_left"][..., None] + jnp.arange(w)  # (B, 3, w)
-    x = jnp.take_along_axis(x, cols[:, :, None, :, None], axis=3)
+    # Crop window [top, top+h) x [left, left+w) of the padded image maps to
+    # source coords (top - p + i, left - p + j); out-of-range = pad zeros.
+    rows = params["crop_top"][..., None] - p + jnp.arange(h)  # (B, 3, h)
+    cols = params["crop_left"][..., None] - p + jnp.arange(w)  # (B, 3, w)
+    in_h = (rows >= 0) & (rows < h)
+    in_w = (cols >= 0) & (cols < w)
+    # Horizontal flip (applied before pad/crop) = reading column W-1-j.
+    src_cols = jnp.where(params["flip"][..., None], w - 1 - cols, cols)
+    x = jnp.take_along_axis(
+        u8, jnp.clip(rows, 0, h - 1)[..., None, None], axis=2
+    )
+    x = jnp.take_along_axis(
+        x, jnp.clip(src_cols, 0, w - 1)[:, :, None, :, None], axis=3
+    )
+    x = x.astype(jnp.float32) / 255.0
+    pad_mask = in_h[..., :, None] & in_w[..., None, :]  # (B, 3, h, w)
+    x = jnp.where(pad_mask[..., None], x, 0.0)
     mean = jnp.asarray(mean, jnp.float32)
     std = jnp.asarray(std, jnp.float32)
     x = (x - mean) / std

@@ -58,15 +58,24 @@ class TrajectoryRecorder:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--epochs", type=int, default=6)
+    ap.add_argument("--epochs", type=int, default=8)
     ap.add_argument("--pids", type=int, default=96)
     ap.add_argument("--imgs-per-pid", type=int, default=12)
     ap.add_argument("--test-pids", type=int, default=32)
-    ap.add_argument("--id-weight", type=float, default=0.16,
+    ap.add_argument("--id-weight", type=float, default=0.14,
                     help="identity-signal weight of the hard recipe "
                          "(0.35 = the e2e bench dataset, saturates)")
-    ap.add_argument("--band-lo", type=float, default=0.30)
-    ap.add_argument("--band-hi", type=float, default=0.995)
+    ap.add_argument("--warmup-epochs", type=int, default=-1,
+                    help="compress the warmup ramp to the gate's budget "
+                         "(default epochs//3; the production 10-of-120 ramp "
+                         "left a 6-epoch run entirely on rising LR and "
+                         "measurably overshot at ~2e-4, logs/r4/quality_tune)")
+    ap.add_argument("--lr-step", type=int, default=-1,
+                    help="milestone epoch for the x0.1 LR decay "
+                         "(default 2*epochs//3), scaling STEPS=(40,70)-of-120 "
+                         "down to the gate run the same way")
+    ap.add_argument("--band-lo", type=float, default=0.35)
+    ap.add_argument("--band-hi", type=float, default=0.97)
     ap.add_argument("--min-gain", type=float, default=0.05,
                     help="required mAP improvement final-vs-first eval")
     ap.add_argument("--root", default="/tmp/d2t_gate")
@@ -103,6 +112,15 @@ def main():
     cfg = get_cfg_defaults()
     apply_flagship(cfg, on_tpu)  # the SAME production recipe bench.py runs
     cfg.SOLVER.MAX_EPOCHS = args.epochs
+    # Compress the LR schedule SHAPE (warmup ramp + one x0.1 milestone) to
+    # the gate's epoch budget.  Everything else (optimizer, batch, bf16
+    # flags, kernels) stays the production recipe.
+    warmup = args.warmup_epochs if args.warmup_epochs >= 0 else max(
+        1, args.epochs // 3)
+    step = args.lr_step if args.lr_step >= 0 else max(
+        warmup + 1, 2 * args.epochs // 3)
+    cfg.SOLVER.WARMUP_ITERS = warmup
+    cfg.SOLVER.STEPS = (step,)
     cfg.SOLVER.EVAL_PERIOD = 1
     cfg.SOLVER.LOG_PERIOD = 10
     cfg.SOLVER.CHECKPOINT_PERIOD = 0
@@ -150,6 +168,8 @@ def main():
         "config": {
             "epochs": args.epochs, "pids": args.pids,
             "imgs_per_pid": args.imgs_per_pid, "id_weight": args.id_weight,
+            "warmup_epochs": cfg.SOLVER.WARMUP_ITERS,
+            "lr_steps": list(cfg.SOLVER.STEPS),
             "backend": jax.default_backend(),
             "compute_dtype": cfg.TPU.COMPUTE_DTYPE,
             "flash_attention": cfg.TPU.USE_FLASH_ATTENTION,

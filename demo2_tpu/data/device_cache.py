@@ -106,20 +106,35 @@ def apply_augment(
     mean: Sequence[float],
     std: Sequence[float],
     padding: int = 10,
+    idx: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """uint8 (B, 3, H, W, 3) -> augmented float32, host-pipeline order.
 
     The host chain is flip -> /255 -> pad(0) -> crop -> normalize
     (data/transforms.py; reference make_dataloader.py:188-196).  All of
-    flip/pad/crop are index permutations, so they are FOLDED into one
-    clamped-index gather on the uint8 data (out-of-pad positions masked to
-    the pad value before normalize).  vs. the naive chain this removes five
-    full-size float32 materializations per step (~0.5 GB/step of HBM
-    traffic at the flagship batch) while staying bit-identical: every
-    surviving float op (/255, zero-mask, -mean, /std) is elementwise in the
-    same order.
+    flip/pad/crop are index permutations, so they are FOLDED into gathers on
+    the uint8 data (out-of-pad positions masked to the pad value before
+    normalize).  vs. the naive chain this removes five full-size float32
+    materializations per step (~0.5 GB/step of HBM traffic at the flagship
+    batch) while staying bit-identical: every surviving float op (/255,
+    zero-mask, -mean, /std) is elementwise in the same order.
+
+    With ``idx`` (production path), ``u8`` is the FULL cache (N, 3, H, W, 3)
+    and the batch is gathered as (sample, modality) PLANES (98 KB rows).
+    Gathering whole samples (``take(cache, idx)``, 294 KB rows) exceeds the
+    TPU mini-gather slice limit, and XLA then SLICES THE ENTIRE CACHE into
+    two H-halves inside the scan body — a measured 3.5 ms/step, 2.3 GB/step
+    whole-dataset copy (round-4 profiler trace, %fusion.2654 ->
+    %mini-gather-slice in the step HLO).  Plane rows sit under the limit so
+    the lowering gathers directly (580.8 -> 600.0 img/s e2e); gathering
+    single image rows (384 B) instead measured SLOWER (576.3) — small-slice
+    DMA overhead; docs/PERF.md has the ladder.
     """
-    b, m, h, w, c = u8.shape
+    if idx is None:
+        b, m, h, w, c = u8.shape
+    else:
+        n, m, h, w, c = u8.shape
+        b = idx.shape[0]
     p = padding
     # Crop window [top, top+h) x [left, left+w) of the padded image maps to
     # source coords (top - p + i, left - p + j); out-of-range = pad zeros.
@@ -129,9 +144,16 @@ def apply_augment(
     in_w = (cols >= 0) & (cols < w)
     # Horizontal flip (applied before pad/crop) = reading column W-1-j.
     src_cols = jnp.where(params["flip"][..., None], w - 1 - cols, cols)
-    x = jnp.take_along_axis(
-        u8, jnp.clip(rows, 0, h - 1)[..., None, None], axis=2
-    )
+    src_rows = jnp.clip(rows, 0, h - 1)
+    if idx is not None:
+        # Gather (sample, modality) planes: 98 KB rows sit under the TPU
+        # mini-gather slice limit that whole 294 KB samples exceed, so the
+        # lowering gathers directly instead of slicing the cache.
+        lin = idx[:, None] * m + jnp.arange(m)[None]  # (B, 3)
+        u8 = jnp.take(
+            u8.reshape(n * m, h, w, c), lin.reshape(-1), axis=0, mode="clip"
+        ).reshape(b, m, h, w, c)
+    x = jnp.take_along_axis(u8, src_rows[..., None, None], axis=2)
     x = jnp.take_along_axis(
         x, jnp.clip(src_cols, 0, w - 1)[:, :, None, :, None], axis=3
     )
@@ -156,11 +178,13 @@ def apply_augment(
     return jnp.where(rect[..., None], noise, x)
 
 
-def augment_batch(u8, key, size, mean, std, flip_prob=0.5, padding=10, re_prob=0.5):
+def augment_batch(u8, key, size, mean, std, flip_prob=0.5, padding=10,
+                  re_prob=0.5, idx=None):
+    batch = u8.shape[0] if idx is None else idx.shape[0]
     params = draw_aug_params(
-        key, u8.shape[0], size, flip_prob=flip_prob, padding=padding, re_prob=re_prob
+        key, batch, size, flip_prob=flip_prob, padding=padding, re_prob=re_prob
     )
-    return apply_augment(u8, params, mean, std, padding=padding)
+    return apply_augment(u8, params, mean, std, padding=padding, idx=idx)
 
 
 def normalize_batch(u8, mean, std) -> jnp.ndarray:

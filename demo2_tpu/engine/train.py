@@ -145,9 +145,12 @@ def build_train_step(cfg: Config, model, tx, center_tx, mesh=None, donate: bool 
 
         def _augment(cimg, idx, step, rng):
             key = jax.random.fold_in(jax.random.fold_in(rng, step), 0xA06)
+            # idx is passed THROUGH so the sample gather fuses with the row
+            # gather (short gather rows; see apply_augment) — gathering the
+            # whole samples here first costs a 2.3 GB/step cache slice.
             out = augment_batch(
-                take(cimg, idx), key, dc.size, dc.mean, dc.std,
-                dc.flip_prob, dc.padding, dc.re_prob,
+                cimg, key, dc.size, dc.mean, dc.std,
+                dc.flip_prob, dc.padding, dc.re_prob, idx=idx,
             )
             return out if cdtype == jnp.float32 else out.astype(cdtype)
 

@@ -293,3 +293,27 @@ def test_do_train_chunked_with_tail(tiny_cfg):
         schedule=sched, mesh=mesh,
     )
     assert int(state2.step) == step0 + steps
+
+
+def test_fused_idx_gather_matches_batch_path():
+    """apply_augment(cache, idx=...) == apply_augment(cache[idx]) bit-for-bit.
+
+    The production train step fuses the per-sample gather into the row
+    gather (short gather rows avoid XLA's whole-cache mini-gather slicing,
+    docs/PERF.md round 4); this pins the two paths to identical output.
+    """
+    rng = np.random.default_rng(3)
+    n, b, h, w = 11, 5, 32, 16
+    pad = 5
+    cache = rng.integers(0, 256, (n, 3, h, w, 3), dtype=np.uint8)
+    idx = jnp.asarray(rng.integers(0, n, (b,), dtype=np.int32))
+    mean, std = (0.5, 0.4, 0.3), (0.5, 0.6, 0.7)
+    params = draw_aug_params(jax.random.PRNGKey(9), b, (h, w), padding=pad)
+    got_fused = np.asarray(
+        apply_augment(jnp.asarray(cache), params, mean, std, padding=pad,
+                      idx=idx)
+    )
+    got_batch = np.asarray(
+        apply_augment(jnp.asarray(cache)[idx], params, mean, std, padding=pad)
+    )
+    np.testing.assert_array_equal(got_fused, got_batch)

@@ -131,8 +131,10 @@ def main():
                     "steps": steps,
                     "total_ms": total / 1e9,
                     "families_ms": {k: v / 1e9 for k, v in fams.items()},
-                    "ops_ms": {k: v / 1e9 for k, v in
-                               sorted(self_t.items(), key=lambda kv: -kv[1])},
+                    # top ops only — the full map is megabytes of HLO names
+                    "ops_ms": {k[:160]: v / 1e9 for k, v in
+                               sorted(self_t.items(),
+                                      key=lambda kv: -kv[1])[:200]},
                 },
                 f, indent=1,
             )

@@ -272,6 +272,12 @@ class TPUConfig:
     # "off" | "dynamic" (per-tensor max-abs act scale) | "static"
     # (calibration constants, perf-representative of the fast int8 mode).
     INT8_MLP: str = "off"
+    # Use the Pallas fused MLP sub-block (LN2+fc1+QuickGELU+fc2+residual,
+    # custom-VJP backward) during TRAINING too, not just eval.  Perf
+    # experiment flag (docs/PERF.md round 4); numerics are mathematically
+    # identical but not bit-identical to the unfused path (in-kernel f32
+    # accumulation), so it is off by default.
+    FUSED_MLP_TRAIN: bool = False
     # Also store Adam's SECOND moment in bf16 (requires BF16_MOMENTS).
     # Riskier than the first moment: (1-b2)*g^2 increments sit near bf16's
     # mantissa resolution (see solver/optim.py::scale_by_adam_mixed).

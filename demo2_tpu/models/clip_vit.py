@@ -129,6 +129,8 @@ class ResidualAttentionBlock(nn.Module):
     use_prompt: bool = False
     prompt_k: int = 4
     int8_mlp: str = "off"
+    # Use the Pallas fused MLP in training too (TPU.FUSED_MLP_TRAIN).
+    fused_mlp_train: bool = False
 
     def _fused_attention(self, x):
         """Fused LN1+qkv+attention+out-proj+residual Pallas path.
@@ -228,12 +230,14 @@ class ResidualAttentionBlock(nn.Module):
         # the exact unfused chain), but the fused MLP is gated to inference:
         # measured on v5e, emitting its (M, 4C) pre-GELU residual from inside
         # the kernel serializes an HBM write the XLA-scheduled unfused path
-        # overlaps with GEMMs (495 vs 548 img/s train — docs/PERF.md).
+        # overlaps with GEMMs (495 vs 548 img/s train round 2; re-measured
+        # 535.9 vs 600.0 round 4 via TPU.FUSED_MLP_TRAIN — docs/PERF.md).
         fuse_attn = self.attn_implementation == "pallas"
         # int8_mlp must also disable the fused (bf16) MLP at eval — otherwise
         # eval would silently run a different MLP numeric path than training
         # (review round 4).
-        fuse = fuse_attn and deterministic and self.int8_mlp == "off"
+        fuse = (fuse_attn and (deterministic or self.fused_mlp_train)
+                and self.int8_mlp == "off")
         if fuse_attn:
             x = self._fused_attention(x)
         else:
@@ -281,6 +285,7 @@ class CLIPVisionTransformer(nn.Module):
     use_adapter: bool = False
     use_prompt: bool = False
     int8_mlp: str = "off"
+    fused_mlp_train: bool = False
 
     @nn.compact
     def __call__(
@@ -337,6 +342,7 @@ class CLIPVisionTransformer(nn.Module):
                 use_adapter=self.use_adapter,
                 use_prompt=self.use_prompt,
                 int8_mlp=self.int8_mlp,
+                fused_mlp_train=self.fused_mlp_train,
                 name=f"resblocks_{i}",
             )
             if self.use_prompt:

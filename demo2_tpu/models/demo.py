@@ -99,6 +99,7 @@ class _DeMoBase(nn.Module):
             use_adapter=cfg.MODEL.ADAPTER,
             use_prompt=cfg.MODEL.PROMPT,
             int8_mlp=cfg.TPU.INT8_MLP,
+            fused_mlp_train=getattr(cfg.TPU, "FUSED_MLP_TRAIN", False),
             name="backbone",
         )
 

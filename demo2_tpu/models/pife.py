@@ -81,6 +81,8 @@ class PIFE(nn.Module):
     # Sub-bf16 experiment: int8 forward for the CLIP MLP GEMMs
     # (TPU.INT8_MLP; "off" | "dynamic" | "static"; see ops/quant.py).
     int8_mlp: str = "off"
+    # Run the Pallas fused MLP in training too (TPU.FUSED_MLP_TRAIN).
+    fused_mlp_train: bool = False
 
     @property
     def feat_dim(self) -> int:
@@ -171,6 +173,7 @@ class PIFE(nn.Module):
                 use_adapter=self.use_adapter,
                 use_prompt=self.use_prompt,
                 int8_mlp=self.int8_mlp,
+                fused_mlp_train=self.fused_mlp_train,
                 name="base",
             )(x, cv_emb, deterministic)
         elif self.transformer_type.startswith("resnet"):

@@ -307,13 +307,15 @@ def _fused_bwd(num_heads, scale, res, g):
     # separate contractions — same failure mode as the fused-MLP residual
     # write (docs/PERF.md).  Kept + interpret-tested for the record.
     if jax.default_backend() in ("tpu", "axon"):
-        from .packed_attention import _packed_bwd_saved
+        from .packed_attention import _packed_bwd_saved_db
 
-        dqkv = _packed_bwd_saved(num_heads, scale, qkv_p, probs, do)
+        # The kernel also accumulates db_qkv in-kernel: XLA lowered the
+        # standalone sum as a convert_reduce_fusion RE-READING the 120 MB
+        # dqkv from HBM (0.162 ms x 12 layers, trace_breakdown2.json).
+        dqkv, dbqkv = _packed_bwd_saved_db(num_heads, scale, qkv_p, probs, do)
         dqkv_m = dqkv.reshape(-1, 3 * c)
         dt = (dqkv_m @ wqkv.astype(dqkv.dtype).T).reshape(b, s_pad, c)
         dwqkv = jnp.einsum("mc,md->cd", t, dqkv_m, preferred_element_type=f32)
-        dbqkv = jnp.sum(dqkv_m.astype(f32), axis=0)
     else:
         _, attn_vjp = jax.vjp(
             lambda q: packed_self_attention(q[:, :s], num_heads, scale), qkv_p

@@ -261,6 +261,119 @@ def _bwd_saved_kernel(qkv_ref, p_ref, do_ref, dqkv_ref, *, num_heads, head_dim,
         )
 
 
+def _bwd_saved_db_kernel(qkv_ref, p_ref, do_ref, dqkv_ref, db_ref, *,
+                         num_heads, head_dim, scale):
+    """_bwd_saved_kernel + in-kernel qkv-bias-grad accumulation.
+
+    The profiler trace (reports/trace_breakdown2.json) showed XLA lowering
+    db_qkv = sum(dqkv, axis=(0,1)) as a standalone convert_reduce_fusion
+    that RE-READS the full (B, S_pad, 3C) dqkv cotangent from HBM —
+    0.162 ms x 12 layers = 1.95 ms/step of pure bandwidth at flagship
+    shapes.  dq/dk/dv are already live in VMEM here, so the column sums
+    are a few VPU reduces; the partial sums accumulate into a revisited
+    f32 (3H, D) output block across the sequential grid (reshaped to
+    (3C,) by the caller).  Values match XLA's reduce operand exactly
+    (summing the bf16-rounded dqkv in f32); only the accumulation order
+    differs.  The dW/dt GEMMs deliberately STAY in XLA — fusing them
+    in-kernel was measured-rejected (_packed_bwd_fused_dw, docs/PERF.md).
+    """
+    c = num_heads * head_dim
+    d = head_dim
+    h = num_heads
+    f32 = jnp.float32
+    blk = qkv_ref[...]
+    bb, s_pad, _ = blk.shape
+    kh = _stack_heads(blk, c, h, d)
+    vh = _stack_heads(blk, 2 * c, h, d)
+    doh = _stack_heads(do_ref[...], 0, h, d)
+    pb = p_ref[...]
+    p = pb.astype(f32)
+
+    batch01 = lambda a, b, ca, cb: jax.lax.dot_general(
+        a, b, (((ca,), (cb,)), ((0,), (0,))), preferred_element_type=f32
+    )
+    dv = batch01(pb, doh, 1, 1)  # (H*BB, S_k, D)
+    dp = batch01(doh, vh, 2, 2)  # (H*BB, S_q, S_k)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dsb = ds.astype(blk.dtype)
+    dq = batch01(dsb, kh, 2, 1) * scale
+    dk = batch01(dsb, _stack_heads(blk, 0, h, d), 1, 1) * scale
+    out_dt = dqkv_ref.dtype
+    for i in range(h):
+        s0, s1 = i * bb, (i + 1) * bb
+        dqkv_ref[:, :, i * d : (i + 1) * d] = dq[s0:s1].astype(out_dt)
+        dqkv_ref[:, :, c + i * d : c + (i + 1) * d] = dk[s0:s1].astype(out_dt)
+        dqkv_ref[:, :, 2 * c + i * d : 2 * c + (i + 1) * d] = dv[s0:s1].astype(
+            out_dt
+        )
+
+    # Per-head column sums in the dqkv section order (q heads, k heads,
+    # v heads) -> (3H, D).  Round-trip through the output dtype first so
+    # the summed values are bit-identical to XLA's reduce over dqkv.
+    db_parts = [
+        t.astype(out_dt).astype(f32).reshape(h, bb, s_pad, d).sum(axis=(1, 2))
+        for t in (dq, dk, dv)
+    ]  # 3 x (H, D)
+    db_blk = jnp.concatenate(db_parts, axis=0)  # (3H, D)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    db_ref[...] += db_blk
+
+
+def _packed_bwd_saved_db(num_heads, scale, qkvp, probs, gp, interpret=False):
+    """_packed_bwd_saved that ALSO returns db_qkv = sum(dqkv, axis=(0,1)).
+
+    Returns (dqkv (B, S_pad, 3C), db (3C,) f32).  Padded-row zeroing is
+    inherited from _packed_bwd_saved (zero gp rows / masked probs make all
+    padded dqkv rows zero), so the sums over S_pad equal sums over valid S.
+    """
+    b, s_pad, c3 = qkvp.shape
+    c = c3 // 3
+    d = c // num_heads
+    h = num_heads
+    bb = _choose_bb(b, 8)
+    dqkv, db = pl.pallas_call(
+        functools.partial(
+            _bwd_saved_db_kernel, num_heads=num_heads, head_dim=d, scale=scale
+        ),
+        grid=(b // bb,),
+        in_specs=[
+            pl.BlockSpec((bb, s_pad, c3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (num_heads * bb, s_pad, s_pad),
+                lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((bb, s_pad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (bb, s_pad, c3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((3 * h, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, s_pad, c3), qkvp.dtype),
+            jax.ShapeDtypeStruct((3 * h, d), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * num_heads * s_pad * s_pad * d,
+            bytes_accessed=(
+                2 * (c3 + c) * b * s_pad + num_heads * b * s_pad * s_pad
+            )
+            * qkvp.dtype.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(qkvp, probs, gp)
+    # (3H, D) row-major == the (3C,) packed-qkv bias layout.
+    return dqkv, db.reshape(c3)
+
+
 def _bwd_fused_dw_kernel(
     qkv_ref, p_ref, do_ref, t_ref, wqkv_ref,
     dt_ref, dwqkv_ref, dbqkv_ref,

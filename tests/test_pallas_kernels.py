@@ -156,6 +156,44 @@ def test_packed_bwd_saved_matches_recompute():
     assert not np.any(np.asarray(d_saved)[:, s:])
 
 
+def test_packed_bwd_saved_db_matches_xla_reduce():
+    """The db-emitting saved-probs backward must return the same dqkv as
+    _packed_bwd_saved plus db == sum(dqkv, axis=(0,1)) in the packed-qkv
+    bias layout, with accumulation exercised across >1 grid program."""
+    from demo2_tpu.ops.packed_attention import (
+        _packed_bwd_saved,
+        _packed_bwd_saved_db,
+    )
+    from demo2_tpu.ops.fused_block import _fused_fwd_impl
+
+    b, s, c, h = 16, 11, 32, 4  # b=16 -> 2 grid programs
+    rng = jax.random.PRNGKey(11)
+    x = jax.random.normal(rng, (b, s, c), jnp.float32)
+    lns = jnp.ones((c,), jnp.float32) * 1.05
+    lnb = jnp.zeros((c,), jnp.float32)
+    wqkv = jax.random.normal(jax.random.fold_in(rng, 1), (c, 3 * c)) * 0.1
+    bqkv = jnp.zeros((3 * c,))
+    wout = jnp.eye(c)
+    bout = jnp.zeros((c,))
+    scale = (c // h) ** -0.5
+    out, qkv_p, attn_p, x_p, probs = _fused_fwd_impl(
+        x, lns, lnb, wqkv, bqkv, wout, bout, h, scale, interpret=True
+    )
+    s_pad = qkv_p.shape[1]
+    g = jax.random.normal(jax.random.fold_in(rng, 2), (b, s, c)) * 0.3
+    gp = jnp.pad(g, [(0, 0), (0, s_pad - s), (0, 0)])
+
+    want_dqkv = _packed_bwd_saved(h, scale, qkv_p, probs, gp, interpret=True)
+    want_db = jnp.sum(want_dqkv.reshape(-1, 3 * c).astype(jnp.float32), axis=0)
+
+    dqkv, db = _packed_bwd_saved_db(h, scale, qkv_p, probs, gp, interpret=True)
+    np.testing.assert_allclose(np.asarray(dqkv), np.asarray(want_dqkv))
+    assert db.shape == (3 * c,) and db.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(db), np.asarray(want_db), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_packed_bwd_fused_dw_matches_separate():
     """The fused-dW backward (dqkv kept in VMEM, dW accumulated across the
     grid) must equal the separate kernel + XLA contraction path."""

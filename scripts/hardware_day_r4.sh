@@ -60,6 +60,32 @@ for s in ${STEPS}; do
       # Pallas kernels on real hardware (suite-gated tests).
       run kernels env DEMO2_TEST_TPU=1 python -m pytest tests/test_tpu_kernels.py -q
       ;;
+    soak)
+      # Long-horizon stability: 30 epochs at the flagship operating point
+      # with eval + checkpoints live, host RSS sampled by a sidecar, then
+      # tools/check_soak.py gates on flat throughput / finite losses /
+      # flat RSS (see its docstring for the exact bands).
+      SOAK_LOG="logs/r4/soak_$(date +%Y%m%d_%H%M%S).log"
+      RSS_LOG="${SOAK_LOG%.log}.rss"
+      echo "=== soak: 30-epoch run (log: ${SOAK_LOG})"
+      python tools/train.py \
+        --config_file configs/RGBNT201/DeMo_SDTPS_DGAF.yml \
+        DATASETS.ROOT_DIR /tmp/d2t_synth \
+        SOLVER.MAX_EPOCHS 30 SOLVER.EVAL_PERIOD 10 \
+        SOLVER.CHECKPOINT_PERIOD 10 SOLVER.IMS_PER_BATCH 64 \
+        DATALOADER.NUM_INSTANCE 8 TPU.DATA_CACHE device \
+        TPU.BF16_MOMENTS True TPU.BF16_SECOND_MOMENT True \
+        OUTPUT_DIR ./logs/r4/soak > "${SOAK_LOG}" 2>&1 &
+      SOAK_PID=$!
+      while kill -0 "${SOAK_PID}" 2>/dev/null; do
+        echo "$(date +%s) $(ps -o rss= -p ${SOAK_PID} | tr -d ' ')" >> "${RSS_LOG}"
+        sleep 5
+      done
+      wait "${SOAK_PID}"; echo "=== soak train rc=$?"
+      run soak_check python tools/check_soak.py \
+        --train-log "${SOAK_LOG}" --rss-log "${RSS_LOG}" \
+        --report reports/soak.json
+      ;;
     *) echo "unknown step: $s" ;;
   esac
 done

@@ -53,17 +53,7 @@ EPOCHS = 12
 # and inside the band).
 ARCH_EPOCHS = {"demo": 36, "legacy": 24, "parallel": 12, "frca": 36}
 
-ARCH_KNOBS = {
-    # flagship: SDTPS + DGAF v3 single-branch
-    "demo": dict(),
-    # 9-head parallel arch with the EXACT-reference engine loss weighting
-    # (only pair 0 x SDTPS_LOSS_WEIGHT — MODEL.PARALLEL_LOSS_PARITY)
-    "parallel": dict(ARCH="DeMo_Parallel", PARALLEL_LOSS_PARITY=True),
-    # legacy cascade (SACR -> LIF -> SDTPS -> DGAF) incl. the aux LIF loss
-    "legacy": dict(ARCH="DeMoBeiyong", USE_SACR=True, USE_LIF=True),
-    # FRCA-only token selector (tri-state USE_FRCA=True, no SDTPS weighting)
-    "frca": dict(USE_FRCA=True, USE_SDTPS=False, USE_DGAF=False),
-}
+from tools.arch_knobs import ARCH_KNOBS  # noqa: E402  (shared w/ quality_gate)
 
 
 def build_cfg(arch: str = "demo", int8_mlp: str = "off"):

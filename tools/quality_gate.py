@@ -74,17 +74,31 @@ def main():
                     help="milestone epoch for the x0.1 LR decay "
                          "(default 2*epochs//3), scaling STEPS=(40,70)-of-120 "
                          "down to the gate run the same way")
+    ap.add_argument("--arch", default="demo",
+                    choices=("demo", "parallel", "legacy", "frca"),
+                    help="architecture family (tools/arch_knobs.py deltas on "
+                         "the flagship recipe).  The default band is pinned "
+                         "for the flagship; gate a new arch by first running "
+                         "--report-only on hardware, then pinning its band "
+                         "(docs/PARITY.md records each pinned row)")
     ap.add_argument("--band-lo", type=float, default=0.35)
     ap.add_argument("--band-hi", type=float, default=0.97)
     ap.add_argument("--min-gain", type=float, default=0.05,
                     help="required mAP improvement final-vs-first eval")
     ap.add_argument("--root", default="/tmp/d2t_gate")
-    ap.add_argument("--report", default="reports/quality_gate.json")
+    ap.add_argument("--report", default=None,
+                    help="report JSON path (default reports/quality_gate.json"
+                         " for the flagship, reports/quality_gate_<arch>.json"
+                         " otherwise, so arch runs don't overwrite the pinned"
+                         " flagship record)")
     ap.add_argument("--report-only", action="store_true",
                     help="record the trajectory, skip the assertions")
     ap.add_argument("--tiny", action="store_true",
                     help="CPU mechanics smoke: tiny model + images")
     args = ap.parse_args()
+    if args.report is None:
+        args.report = ("reports/quality_gate.json" if args.arch == "demo"
+                       else f"reports/quality_gate_{args.arch}.json")
 
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(name)s: %(message)s")
@@ -109,8 +123,12 @@ def main():
 
     from demo2_tpu.config.presets import apply_flagship, apply_tiny
 
+    from tools.arch_knobs import ARCH_KNOBS
+
     cfg = get_cfg_defaults()
     apply_flagship(cfg, on_tpu)  # the SAME production recipe bench.py runs
+    for k, v in ARCH_KNOBS[args.arch].items():
+        setattr(cfg.MODEL, k, v)
     cfg.SOLVER.MAX_EPOCHS = args.epochs
     # Compress the LR schedule SHAPE (warmup ramp + one x0.1 milestone) to
     # the gate's epoch budget.  Everything else (optimizer, batch, bf16
@@ -166,6 +184,7 @@ def main():
     r1s = rec.series("Val/Rank-1")
     report = {
         "config": {
+            "arch": args.arch,
             "epochs": args.epochs, "pids": args.pids,
             "imgs_per_pid": args.imgs_per_pid, "id_weight": args.id_weight,
             "warmup_epochs": cfg.SOLVER.WARMUP_ITERS,

@@ -18,3 +18,25 @@ ARCH_KNOBS = {
     # FRCA-only token selector (tri-state USE_FRCA=True, no SDTPS weighting)
     "frca": dict(USE_FRCA=True, USE_SDTPS=False, USE_DGAF=False),
 }
+
+# Per-arch hardware quality-gate operating points, pinned from the
+# 2026-08-19 TPU tuning ladders (docs/PARITY.md "hardware quality gate"
+# section records the evidence per row).  The four families learn the
+# SyntheticHard task at very different rates, so a single id_weight
+# cannot put all of them inside the discriminative band:
+#   * legacy's SACR->LIF cascade is the strongest learner — it saturates
+#     (mAP 0.998+) at the flagship's 0.14 and still at 0.10; 0.06 gives
+#     a clean climb to 0.45.
+#   * frca (token selector with NO SDTPS/DGAF fusion, random-init
+#     backbone) is the weakest — at the full 3.5e-4 peak LR it collapses
+#     after warmup at EVERY id_weight (0.90 -> 0.25 flat at 0.25), and
+#     at 0.14 it cannot extract the signal at all (flat ~0.05 at either
+#     LR); 1.5e-4 peak LR is stable, and the id_weight is raised until
+#     the arch learns without saturating.
+# `base_lr: None` means the flagship recipe's peak LR.
+GATE_POINTS = {
+    "demo": dict(id_weight=0.14, base_lr=None),
+    "parallel": dict(id_weight=0.14, base_lr=None),
+    "legacy": dict(id_weight=0.06, base_lr=None),
+    "frca": dict(id_weight=0.18, base_lr=1.5e-4),
+}

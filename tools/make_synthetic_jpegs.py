@@ -26,26 +26,44 @@ def generate(root: str, num_pids: int = 171, imgs_per_pid: int = 23,
              test_pids: int = 30, test_imgs_per_pid: int = 14,
              num_cams: int = 6, src_size=(288, 144), seed: int = 0,
              quality: int = 95, id_weight: float = 0.35) -> str:
-    """Returns the dataset root (idempotent: skips if marker file exists).
+    """Returns the dataset root (idempotent: skips iff the EXCLUSIVE
+    marker of this exact parameterization is present).
 
     ``id_weight`` scales the hard recipe's identity signal (datasets.py
     SyntheticTriModal); the quality gate lowers it so full-width training
     cannot saturate mAP (tools/quality_gate.py).
+
+    The marker encodes EVERY render parameter and any other marker
+    invalidates it: all parameterizations share one directory tree and
+    image file names, so a parameter change overwrites files in place
+    (and a pid-count DECREASE leaves stale extras the glob parsers would
+    pick up).  Markers used to record only (counts, id_weight) and were
+    allowed to accumulate, which let a run that REVISITED an old
+    id_weight silently train on whichever images a newer run wrote last
+    — caught on 2026-08-19 when two different-id_weight gate probes
+    produced bit-identical mAP trajectories (docs/PARITY.md, per-arch
+    gate section).  Now the whole tree is wiped and re-rendered unless
+    the sole surviving marker matches.
     """
+    import glob as globlib
+    import shutil
+
     from PIL import Image
 
     from demo2_tpu.data.datasets import SyntheticTriModal
 
+    h, w = src_size
     base = osp.join(root, "RGBNT201")
     idw = "" if id_weight == 0.35 else f"_w{id_weight:g}"
     marker = osp.join(
         base,
-        f".complete_{num_pids}x{imgs_per_pid}_{test_pids}x{test_imgs_per_pid}{idw}",
+        f".complete_{num_pids}x{imgs_per_pid}_{test_pids}x{test_imgs_per_pid}"
+        f"_{h}x{w}_c{num_cams}_q{quality}_s{seed}{idw}",
     )
-    if osp.exists(marker):
+    if globlib.glob(osp.join(base, ".complete_*")) == [marker]:
         return root
-
-    h, w = src_size
+    if osp.exists(base):
+        shutil.rmtree(base)
     renderer = SyntheticTriModal(
         num_pids=max(num_pids, test_pids), num_cams=num_cams,
         imgs_per_pid=1, image_size=(h, w), seed=seed, hard=True,

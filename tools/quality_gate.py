@@ -62,9 +62,11 @@ def main():
     ap.add_argument("--pids", type=int, default=96)
     ap.add_argument("--imgs-per-pid", type=int, default=12)
     ap.add_argument("--test-pids", type=int, default=32)
-    ap.add_argument("--id-weight", type=float, default=0.14,
+    ap.add_argument("--id-weight", type=float, default=None,
                     help="identity-signal weight of the hard recipe "
-                         "(0.35 = the e2e bench dataset, saturates)")
+                         "(0.35 = the e2e bench dataset, saturates). "
+                         "Default: the arch's pinned operating point "
+                         "(tools/arch_knobs.py GATE_POINTS)")
     ap.add_argument("--warmup-epochs", type=int, default=-1,
                     help="compress the warmup ramp to the gate's budget "
                          "(default epochs//3; the production 10-of-120 ramp "
@@ -81,6 +83,17 @@ def main():
                          "for the flagship; gate a new arch by first running "
                          "--report-only on hardware, then pinning its band "
                          "(docs/PARITY.md records each pinned row)")
+    ap.add_argument("--base-lr", type=float, default=None,
+                    help="peak LR override (default: the arch's pinned "
+                         "operating point, tools/arch_knobs.py GATE_POINTS; "
+                         "the flagship uses the production recipe's LR). "
+                         "Diagnostic knob: separates arch LR-instability "
+                         "(collapse at full LR) from task difficulty when "
+                         "tuning a new arch's operating point")
+    ap.add_argument("--compute-dtype", default=None,
+                    choices=("bfloat16", "float32"),
+                    help="compute-dtype override (diagnostic: separates "
+                         "bf16 numerics from optimization instability)")
     ap.add_argument("--band-lo", type=float, default=0.35)
     ap.add_argument("--band-hi", type=float, default=0.97)
     ap.add_argument("--min-gain", type=float, default=0.05,
@@ -123,13 +136,23 @@ def main():
 
     from demo2_tpu.config.presets import apply_flagship, apply_tiny
 
-    from tools.arch_knobs import ARCH_KNOBS
+    from tools.arch_knobs import ARCH_KNOBS, GATE_POINTS
+
+    point = GATE_POINTS[args.arch]
+    if args.id_weight is None:
+        args.id_weight = point["id_weight"]
+    if args.base_lr is None:
+        args.base_lr = point["base_lr"]
 
     cfg = get_cfg_defaults()
     apply_flagship(cfg, on_tpu)  # the SAME production recipe bench.py runs
     for k, v in ARCH_KNOBS[args.arch].items():
         setattr(cfg.MODEL, k, v)
     cfg.SOLVER.MAX_EPOCHS = args.epochs
+    if args.base_lr is not None:
+        cfg.SOLVER.BASE_LR = args.base_lr
+    if args.compute_dtype is not None:
+        cfg.TPU.COMPUTE_DTYPE = args.compute_dtype
     # Compress the LR schedule SHAPE (warmup ramp + one x0.1 milestone) to
     # the gate's epoch budget.  Everything else (optimizer, batch, bf16
     # flags, kernels) stays the production recipe.
@@ -190,6 +213,7 @@ def main():
             "warmup_epochs": cfg.SOLVER.WARMUP_ITERS,
             "lr_steps": list(cfg.SOLVER.STEPS),
             "backend": jax.default_backend(),
+            "base_lr": cfg.SOLVER.BASE_LR,
             "compute_dtype": cfg.TPU.COMPUTE_DTYPE,
             "flash_attention": cfg.TPU.USE_FLASH_ATTENTION,
             "image_size": list(cfg.INPUT.SIZE_TRAIN), "tiny": args.tiny,

@@ -278,6 +278,12 @@ class TPUConfig:
     # identical but not bit-identical to the unfused path (in-kernel f32
     # accumulation), so it is off by default.
     FUSED_MLP_TRAIN: bool = False
+    # Fused Pallas LayerNorm BACKWARD for the backbone's unfused LNs (ln_2
+    # on the training path): one HBM pass for dx+dscale+dbias instead of
+    # XLA's two-fusion chain (ops/norm.py::layernorm_pallas_bwd).  Forward
+    # graph unchanged; grads differ only by f32-accumulation rounding.
+    # Perf experiment flag (docs/PERF.md round 4).
+    PALLAS_LN_BWD: bool = False
     # Also store Adam's SECOND moment in bf16 (requires BF16_MOMENTS).
     # Riskier than the first moment: (1-b2)*g^2 increments sit near bf16's
     # mantissa resolution (see solver/optim.py::scale_by_adam_mixed).

@@ -131,6 +131,8 @@ class ResidualAttentionBlock(nn.Module):
     int8_mlp: str = "off"
     # Use the Pallas fused MLP in training too (TPU.FUSED_MLP_TRAIN).
     fused_mlp_train: bool = False
+    # Fused Pallas LN backward for the unfused LNs (TPU.PALLAS_LN_BWD).
+    pallas_ln_bwd: bool = False
 
     def _fused_attention(self, x):
         """Fused LN1+qkv+attention+out-proj+residual Pallas path.
@@ -241,7 +243,7 @@ class ResidualAttentionBlock(nn.Module):
         if fuse_attn:
             x = self._fused_attention(x)
         else:
-            y = LayerNorm(name="ln_1")(x)
+            y = LayerNorm(name="ln_1", pallas_bwd=self.pallas_ln_bwd)(x)
             y = MultiHeadAttention(
                 num_heads=self.heads,
                 dtype=self.dtype,
@@ -253,7 +255,7 @@ class ResidualAttentionBlock(nn.Module):
         if fuse and not self.use_adapter:
             x = self._fused_mlp(x)
         else:
-            y = LayerNorm(name="ln_2")(x)
+            y = LayerNorm(name="ln_2", pallas_bwd=self.pallas_ln_bwd)(x)
             y = CLIPMlp(self.width, dtype=self.dtype,
                         int8_fwd=self.int8_mlp, name="mlp")(y)
             if self.use_adapter:
@@ -286,6 +288,7 @@ class CLIPVisionTransformer(nn.Module):
     use_prompt: bool = False
     int8_mlp: str = "off"
     fused_mlp_train: bool = False
+    pallas_ln_bwd: bool = False
 
     @nn.compact
     def __call__(
@@ -343,6 +346,7 @@ class CLIPVisionTransformer(nn.Module):
                 use_prompt=self.use_prompt,
                 int8_mlp=self.int8_mlp,
                 fused_mlp_train=self.fused_mlp_train,
+                pallas_ln_bwd=self.pallas_ln_bwd,
                 name=f"resblocks_{i}",
             )
             if self.use_prompt:

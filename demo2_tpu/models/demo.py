@@ -100,6 +100,7 @@ class _DeMoBase(nn.Module):
             use_prompt=cfg.MODEL.PROMPT,
             int8_mlp=cfg.TPU.INT8_MLP,
             fused_mlp_train=getattr(cfg.TPU, "FUSED_MLP_TRAIN", False),
+            pallas_ln_bwd=getattr(cfg.TPU, "PALLAS_LN_BWD", False),
             name="backbone",
         )
 

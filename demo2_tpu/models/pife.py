@@ -83,6 +83,7 @@ class PIFE(nn.Module):
     int8_mlp: str = "off"
     # Run the Pallas fused MLP in training too (TPU.FUSED_MLP_TRAIN).
     fused_mlp_train: bool = False
+    pallas_ln_bwd: bool = False
 
     @property
     def feat_dim(self) -> int:
@@ -174,6 +175,7 @@ class PIFE(nn.Module):
                 use_prompt=self.use_prompt,
                 int8_mlp=self.int8_mlp,
                 fused_mlp_train=self.fused_mlp_train,
+                pallas_ln_bwd=self.pallas_ln_bwd,
                 name="base",
             )(x, cv_emb, deterministic)
         elif self.transformer_type.startswith("resnet"):

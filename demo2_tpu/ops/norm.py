@@ -11,11 +11,14 @@ This module reproduces torch exactly; statistics are accumulated in fp32.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 class TorchBatchNorm(nn.Module):
@@ -131,19 +134,140 @@ class LayerNorm(nn.Module):
     """
 
     epsilon: float = 1e-5
+    # Route the backward pass through the fused Pallas kernel (one HBM pass
+    # producing dx + dscale + dbias, stats recomputed in-VMEM) instead of
+    # XLA's two-fusion chain.  Perf experiment flag (TPU.PALLAS_LN_BWD);
+    # the forward is the SAME jnp graph either way, only grads differ by
+    # f32-accumulation rounding.
+    pallas_bwd: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        dtype = x.dtype
         features = x.shape[-1]
-        mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
-        d = x - mean.astype(dtype)
-        # Centered two-pass variance (non-negative by construction — the
-        # E[x^2]-E[x]^2 form can go negative under fused reductions and NaN
-        # the rsqrt; see the SDTPS z-score incident).
-        var = jnp.mean(jnp.square(d), axis=-1, keepdims=True, dtype=jnp.float32)
-        rstd = jax.lax.rsqrt(var + self.epsilon)
         scale = self.param("scale", nn.initializers.ones, (features,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
-        y = d * (rstd.astype(dtype) * scale.astype(dtype)) + bias.astype(dtype)
-        return y
+        if self.pallas_bwd:
+            return layernorm_pallas_bwd(x, scale, bias, epsilon=self.epsilon)
+        return _layernorm_fwd_expr(x, scale, bias, self.epsilon)
+
+
+def _layernorm_fwd_expr(x, scale, bias, epsilon):
+    """The LN forward expression shared by both backward routes."""
+    dtype = x.dtype
+    mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
+    d = x - mean.astype(dtype)
+    # Centered two-pass variance (non-negative by construction — the
+    # E[x^2]-E[x]^2 form can go negative under fused reductions and NaN
+    # the rsqrt; see the SDTPS z-score incident).
+    var = jnp.mean(jnp.square(d), axis=-1, keepdims=True, dtype=jnp.float32)
+    rstd = jax.lax.rsqrt(var + epsilon)
+    y = d * (rstd.astype(dtype) * scale.astype(dtype)) + bias.astype(dtype)
+    return y
+
+
+# --- Fused Pallas LayerNorm backward ------------------------------------
+#
+# Profiler round 4 (reports/trace_breakdown3.json): XLA lowers the unfused
+# ln_2 backward as TWO separate fusions per layer — a multiply_reduce for
+# (dscale, dbias) and an add_add for dx — each re-reading the (192,129,768)
+# bf16 dy/xhat operands from HBM at ~372 GB/s (12 x 0.102 + 12 x 0.111 =
+# 2.56 ms/step).  This kernel produces all three cotangents in ONE pass over
+# (x, dy), recomputing mean/rstd from the x block already resident in VMEM
+# (flash-attention-style recompute; residuals are just x and scale).  The
+# (1, C) f32 dscale/dbias partial sums accumulate across the sequential
+# TPU grid, same pattern as packed_attention._packed_bwd_saved_db.
+
+_LN_BLOCK_ROWS = 256
+
+
+def _ln_bwd_kernel(x_ref, dy_ref, g_ref, dx_ref, dg_ref, db_ref, *, eps):
+    xf = x_ref[...].astype(jnp.float32)    # (R, C)
+    dyf = dy_ref[...].astype(jnp.float32)  # (R, C)
+    g = g_ref[...].astype(jnp.float32)     # (1, C)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mean) * rstd
+    # Zero-padded tail rows stay exactly zero: dyf = 0 -> dyg/m1/m2 = 0 ->
+    # dx = 0, and their dg/db contributions vanish (xf = 0 rows give
+    # var = 0, rstd = 1/sqrt(eps) finite — no NaN).
+    dyg = dyf * g
+    m1 = jnp.mean(dyg, axis=-1, keepdims=True)
+    m2 = jnp.mean(dyg * xhat, axis=-1, keepdims=True)
+    dx_ref[...] = (rstd * (dyg - m1 - xhat * m2)).astype(dx_ref.dtype)
+
+    dg_blk = jnp.sum(dyf * xhat, axis=0, keepdims=True)  # (1, C)
+    db_blk = jnp.sum(dyf, axis=0, keepdims=True)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dg_ref[...] = jnp.zeros_like(dg_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    dg_ref[...] += dg_blk
+    db_ref[...] += db_blk
+
+
+def _ln_bwd_call(x2, dy2, scale, eps, interpret):
+    r, c = x2.shape
+    rb = _LN_BLOCK_ROWS
+    r_pad = -(-r // rb) * rb
+    if r_pad != r:
+        x2 = jnp.pad(x2, ((0, r_pad - r), (0, 0)))
+        dy2 = jnp.pad(dy2, ((0, r_pad - r), (0, 0)))
+    dx2, dg, db = pl.pallas_call(
+        functools.partial(_ln_bwd_kernel, eps=eps),
+        grid=(r_pad // rb,),
+        in_specs=[
+            pl.BlockSpec((rb, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((rb, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((r_pad, c), dy2.dtype),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * r_pad * c,
+            bytes_accessed=3 * r_pad * c * x2.dtype.itemsize,
+            transcendentals=r_pad,
+        ),
+        interpret=interpret,
+    )(x2, dy2, scale.reshape(1, c))
+    return dx2[:r], dg[0], db[0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _ln_pallas(x, scale, bias, epsilon):
+    return _layernorm_fwd_expr(x, scale, bias, epsilon)
+
+
+def _ln_pallas_fwd(x, scale, bias, epsilon):
+    return _layernorm_fwd_expr(x, scale, bias, epsilon), (x, scale)
+
+
+def _ln_pallas_bwd(epsilon, res, dy):
+    x, scale = res
+    c = x.shape[-1]
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    dx2, dg, db = _ln_bwd_call(
+        x.reshape(-1, c), dy.reshape(-1, c), scale, epsilon, interpret
+    )
+    return dx2.reshape(x.shape), dg, db
+
+
+_ln_pallas.defvjp(_ln_pallas_fwd, _ln_pallas_bwd)
+
+
+def layernorm_pallas_bwd(x, scale, bias, *, epsilon: float = 1e-5):
+    """LayerNorm whose forward is the standard jnp graph (XLA fuses it as
+    usual) and whose backward is the fused one-pass Pallas kernel above.
+    Gradients match the autodiff chain to f32-accumulation rounding
+    (tests/test_pallas_kernels.py::test_ln_pallas_bwd_matches_autodiff)."""
+    return _ln_pallas(x, scale, bias, epsilon)

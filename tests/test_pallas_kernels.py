@@ -289,3 +289,42 @@ def test_fused_mlp_block_grad_matches_unfused():
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4, err_msg=nm
         )
+
+
+def test_ln_pallas_bwd_matches_autodiff():
+    """layernorm_pallas_bwd: forward bit-identical to the plain LN graph;
+    the fused Pallas backward matches autodiff of that graph (f32
+    accumulation rounding only).  Covers the padded-tail-rows case
+    (rows not a multiple of the 256-row kernel block)."""
+    from demo2_tpu.ops.norm import _layernorm_fwd_expr, layernorm_pallas_bwd
+
+    rng = jax.random.PRNGKey(11)
+    for shape, dt, tol in (
+        ((5, 129, 768), jnp.bfloat16, 2e-2),  # flagship ln_2 shape family
+        ((300, 384), jnp.float32, 1e-5),      # non-multiple-of-block rows
+    ):
+        c = shape[-1]
+        k1, k2, k3, k4 = jax.random.split(jax.random.fold_in(rng, c), 4)
+        x = (jax.random.normal(k1, shape, jnp.float32) * 2 + 0.3).astype(dt)
+        g = jax.random.normal(k2, (c,), jnp.float32) * 0.5 + 1.0
+        b = jax.random.normal(k3, (c,), jnp.float32) * 0.1
+        dy = jax.random.normal(k4, shape, jnp.float32).astype(dt)
+
+        y_ref = _layernorm_fwd_expr(x, g, b, 1e-5)
+        y_pal = layernorm_pallas_bwd(x, g, b, epsilon=1e-5)
+        assert (np.asarray(y_ref) == np.asarray(y_pal)).all()
+
+        def loss(fn):
+            return lambda *a: jnp.sum(
+                fn(*a).astype(jnp.float32) * dy.astype(jnp.float32)
+            )
+
+        ref = jax.grad(loss(lambda *a: _layernorm_fwd_expr(*a, 1e-5)),
+                       argnums=(0, 1, 2))(x, g, b)
+        pal = jax.grad(loss(lambda *a: layernorm_pallas_bwd(*a, epsilon=1e-5)),
+                       argnums=(0, 1, 2))(x, g, b)
+        for got, want, nm in zip(pal, ref, ("dx", "dscale", "dbias")):
+            got = np.asarray(got, np.float32)
+            want = np.asarray(want, np.float32)
+            rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+            assert rel < tol, (nm, shape, rel)

@@ -26,6 +26,7 @@ Transforms are applied independently per modality (bases.py:103-104): every
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Any, Optional, Sequence, Tuple
 
@@ -198,6 +199,63 @@ def normalize_batch(u8, mean, std) -> jnp.ndarray:
 # Decode-once cache
 # ---------------------------------------------------------------------------
 
+# Host-side persistence for the decoded uint8 tensor.  The decode-once cost
+# on this 1-core host is ~2 min at RGBNT201 scale (round-4 bench logs:
+# 118.8 s for 3,933 tri-modal samples) and was paid by EVERY bench/train
+# invocation; persisting the decoded array keyed on the dataset's file
+# identity turns it into a once-per-machine cost (VERDICT r4 #2).
+DECODE_CACHE_DIR = os.environ.get("DEMO2_DECODE_CACHE_DIR", "/tmp/d2t_decode_cache")
+
+
+def _decode_cache_key(pipe, train: bool) -> Optional[str]:
+    """Content key for the decoded dataset, or None if not cacheable.
+
+    Keyed on every sample's (path, size, mtime) plus the resize geometry and
+    interpolation mode — ~12k os.stat calls (<1 s), so a stale cache after
+    regenerating images in place is impossible.  In-memory synthetic refs
+    (tuples) are not cacheable (decode is already cheap there).
+    """
+    import hashlib
+
+    h, w = pipe.transform.size
+    hasher = hashlib.sha1(
+        f"v1|{h}x{w}|train={train}|native={pipe.use_native}".encode()
+    )
+    try:
+        for ref, *_ in pipe.samples:
+            paths = [ref] if isinstance(ref, str) else list(ref)
+            for p in paths:
+                if not isinstance(p, str):
+                    return None
+                st = os.stat(p)
+                hasher.update(f"{p}|{st.st_size}|{st.st_mtime_ns}".encode())
+    except (OSError, TypeError):
+        return None
+    return hasher.hexdigest()
+
+
+def _decode_all_cached(pipe, train: bool) -> np.ndarray:
+    """_decode_all with host-side persistence (np memmap read on hit)."""
+    key = _decode_cache_key(pipe, train)
+    if key is None:
+        return _decode_all(pipe, train)
+    path = os.path.join(DECODE_CACHE_DIR, f"{key}.npy")
+    if os.path.exists(path):
+        try:
+            return np.load(path, mmap_mode="r")
+        except (OSError, ValueError):
+            pass  # torn write from a crashed run — re-decode below
+    out = _decode_all(pipe, train)
+    try:
+        os.makedirs(DECODE_CACHE_DIR, exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:  # np.save(path) would append .npy
+            np.save(f, out)
+        os.replace(tmp, path)
+    except OSError:
+        pass  # persistence is best-effort; the decode result still stands
+    return out
+
 
 @dataclass
 class DeviceCache:
@@ -296,7 +354,7 @@ def build_device_cache(pipe, mesh=None, train: Optional[bool] = None) -> DeviceC
     if train is None:
         train = isinstance(pipe.transform, TrainTransform)
     t0 = time.perf_counter()
-    images = _decode_all(pipe, train)
+    images = _decode_all_cached(pipe, train)
     decode_s = time.perf_counter() - t0
     meta = pipe.samples
     tf = pipe.transform

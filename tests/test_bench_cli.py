@@ -100,6 +100,92 @@ def test_main_skips_with_rc0_when_pool_down(monkeypatch, capsys):
     assert rec["value"] is None and rec["skipped"] == "tpu-pool-unavailable"
 
 
+def _run_cli(extra_args=(), fault=None, timeout=120, send_term_after=None,
+             fault_deadline=None):
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    if fault:
+        env["DEMO2_BENCH_FAULT"] = fault
+    if fault_deadline is not None:
+        env["DEMO2_BENCH_FAULT_DEADLINE"] = str(fault_deadline)
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--platform", "cpu",
+         *extra_args],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, cwd=REPO,
+        env=env,
+    )
+    if send_term_after is not None:
+        import time
+        time.sleep(send_term_after)
+        proc.send_signal(subprocess.signal.SIGTERM)
+    out, err = proc.communicate(timeout=timeout)
+    return proc.returncode, out, err
+
+
+def _last_record(out: str) -> dict:
+    lines = [l for l in out.strip().splitlines() if l.strip()]
+    return json.loads(lines[-1])
+
+
+def test_hang_before_measure_emits_skip_record():
+    """A wedged RPC before any measurement (the round-4 driver failure
+    mode): the watchdog must kill the child and emit a parseable skip."""
+    rc, out, err = _run_cli(fault="hang:jax-import")
+    assert rc == 0, err[-2000:]
+    rec = _last_record(out)
+    assert rec["value"] is None
+    assert "stage-stall" in rec["skipped"]
+    assert rec["stage"] == "jax-import"
+
+
+def test_total_budget_kill_emits_skip_record():
+    """Heartbeats flowing but the total wall budget lapsing still yields a
+    parseable record (driver timeouts must never land on a traceback)."""
+    rc, out, err = _run_cli(extra_args=("--total-secs", "3"),
+                            fault="hang:jax-import", fault_deadline=600)
+    assert rc == 0, err[-2000:]
+    rec = _last_record(out)
+    assert rec["value"] is None
+    assert "total-budget" in rec["skipped"]
+
+
+def test_sigterm_emits_record_before_exit():
+    """SIGTERM (what `timeout` sends — BENCH_r04's rc=124) is converted
+    into best-known-record emission instead of a silent death.
+
+    The signal is sent ~12 s in: the interpreter pays ~5 s of sitecustomize
+    jax import before bench.main() installs the handler, and a driver
+    timeout in the field always arrives minutes later.
+    """
+    rc, out, err = _run_cli(fault="hang:jax-import", fault_deadline=600,
+                            send_term_after=12.0)
+    rec = _last_record(out)
+    assert rec["value"] is None
+    assert "terminated:signal-15" in rec["skipped"]
+
+
+@pytest.mark.slow
+def test_crash_mid_run_falls_back_to_provisional():
+    """A crash AFTER a timed epoch reports that epoch's throughput as a
+    provisional value rather than losing the measurement."""
+    rc, out, err = _run_cli(fault="crash:epoch3", timeout=900)
+    assert rc == 0, err[-2000:]
+    rec = _last_record(out)
+    assert rec["value"] and rec["value"] > 0
+    assert rec["provisional"] is True
+    assert "child-crashed" in rec["failure"]
+
+
+@pytest.mark.slow
+def test_hang_mid_run_falls_back_to_provisional():
+    rc, out, err = _run_cli(fault="hang:epoch3", timeout=900)
+    assert rc == 0, err[-2000:]
+    rec = _last_record(out)
+    assert rec["value"] and rec["value"] > 0
+    assert rec["provisional"] is True
+    assert "stage-stall:epoch3" in rec["failure"]
+
+
 @pytest.mark.slow
 def test_scaling_mode_cpu_mesh(tmp_path):
     """--devices 8 runs the real e2e loop on the virtual CPU mesh.

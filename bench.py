@@ -225,7 +225,10 @@ def measure(cfg, epochs, chunk, n_dev_req, rep: Reporter):
     # First device touches (param init + transfers) — a wedged tunnel stalls
     # here without raising, so it gets its own watchdog stage (round 4's
     # driver bench died between "dataset ready" and the decode log line).
-    rep.stage("train-state-init", 420)
+    # 600 s: a COLD remote compile of the init fn takes minutes; measured
+    # 2026-08-20 it exceeded 420 s once while concurrent CPU JAX processes
+    # were alive (the axon tunnel serializes clients).
+    rep.stage("train-state-init", 600)
     state, tx, center_tx, _ = create_train_state(
         cfg, model, rng, sample, steps_per_epoch=100
     )

@@ -263,6 +263,10 @@ class TPUConfig:
     BACKBONE_HEADS: int = -1
     # LoRA rank used when MODEL.FROZEN freezes the backbone.
     LORA_RANK: int = 4
+    # Which packed-qkv sub-projections carry LoRA adapters (any subset of
+    # "qkv").  "qkv" = the whole-matrix adapter; a proper subset switches to
+    # the MergedLinear per-slice semantics (reference clip/LoRA.py:133-231).
+    LORA_ENABLE: str = "qkv"
     # Store Adam's FIRST moment in bf16 (second moment stays fp32) — halves
     # a third of the optimizer's HBM traffic at a small numerics cost.  OFF
     # by default: the reference trains with full-fp32 Adam state.

@@ -61,6 +61,20 @@ class _TextBlock(nn.Module):
         return x + y
 
 
+def lora_embedding_delta(lora_a, lora_b, ids, alpha: float):
+    """Low-rank embedding-lookup delta (reference clip/LoRA.py:33-90).
+
+    ``lora_a`` is (r, vocab) — init ZEROS — and ``lora_b`` (width, r) —
+    init normal — exactly the reference `Embedding.reset_parameters`
+    convention (the transpose of the Linear one, so a fresh adapter is a
+    no-op through A).  Returns (..., width): `after_A = A.T[ids]` then
+    `after_A @ B.T`, scaled (the reference's lora_alpha/r folded into
+    ``alpha`` like the attention adapters).
+    """
+    after_a = jnp.take(lora_a.T, ids, axis=0)  # (..., r)
+    return alpha * (after_a @ lora_b.T)
+
+
 class CLIPTextTransformer(nn.Module):
     """`encode_text` equivalent: (B, 77) int tokens -> (B, embed_dim)."""
 
@@ -71,6 +85,11 @@ class CLIPTextTransformer(nn.Module):
     heads: int = 8
     embed_dim: int = 512
     dtype: Any = jnp.float32
+    # LoRA adapter on the token embedding (reference clip/LoRA.py:33-90,
+    # dormant there like the rest of the vendored library; first-class
+    # here behind the same MODEL.FROZEN + TPU.LORA_RANK knobs).
+    lora_rank: int = 0
+    lora_alpha: float = 1.0
 
     @nn.compact
     def __call__(self, text: jnp.ndarray) -> jnp.ndarray:  # (B, 77) int32
@@ -88,6 +107,18 @@ class CLIPTextTransformer(nn.Module):
             f32,
         )
         x = tok[text].astype(self.dtype) + pos.astype(self.dtype)
+        if self.lora_rank > 0:
+            la = self.param(
+                "token_lora_a", nn.initializers.zeros,
+                (self.lora_rank, self.vocab_size), f32,
+            )
+            lb = self.param(
+                "token_lora_b", nn.initializers.normal(1.0),
+                (self.width, self.lora_rank), f32,
+            )
+            x = x + lora_embedding_delta(
+                la, lb, text, self.lora_alpha
+            ).astype(self.dtype)
 
         # Causal mask as an additive bias (reference fills strict upper
         # triangle with -inf; -1e30 keeps the softmax fp32-safe).

@@ -125,6 +125,7 @@ class ResidualAttentionBlock(nn.Module):
     dtype: Any = jnp.float32
     attn_implementation: str = "xla"
     lora_rank: int = 0
+    lora_enable: tuple = (True, True, True)
     use_adapter: bool = False
     use_prompt: bool = False
     prompt_k: int = 4
@@ -151,14 +152,21 @@ class ResidualAttentionBlock(nn.Module):
             dtype=self.dtype,
             implementation="xla",
             lora_rank=self.lora_rank,
+            lora_enable=self.lora_enable,
             name="attn",
         )
         _ = attn(x[:1, :2])
         lnp = ln1.variables["params"]
         ap = attn.variables["params"]
         wqkv = ap["in_proj_kernel"]
-        if self.lora_rank > 0:
+        if self.lora_rank > 0 and all(self.lora_enable):
             wqkv = wqkv + ap["lora_a"] @ ap["lora_b"]
+        elif self.lora_rank > 0 and any(self.lora_enable):
+            from ..ops.attention import merged_lora_delta
+
+            wqkv = wqkv + merged_lora_delta(
+                ap["lora_a"], ap["lora_b"], self.lora_enable, 1.0
+            )
         return fused_attention_block(
             x,
             lnp["scale"],
@@ -249,6 +257,7 @@ class ResidualAttentionBlock(nn.Module):
                 dtype=self.dtype,
                 implementation=self.attn_implementation,
                 lora_rank=self.lora_rank,
+                lora_enable=self.lora_enable,
                 name="attn",
             )(y)
             x = x + y
@@ -284,6 +293,7 @@ class CLIPVisionTransformer(nn.Module):
     attn_implementation: str = "xla"
     remat: bool = False
     lora_rank: int = 0
+    lora_enable: tuple = (True, True, True)
     use_adapter: bool = False
     use_prompt: bool = False
     int8_mlp: str = "off"
@@ -342,6 +352,7 @@ class CLIPVisionTransformer(nn.Module):
                 dtype=self.dtype,
                 attn_implementation=self.attn_implementation,
                 lora_rank=self.lora_rank,
+                lora_enable=self.lora_enable,
                 use_adapter=self.use_adapter,
                 use_prompt=self.use_prompt,
                 int8_mlp=self.int8_mlp,

@@ -96,6 +96,7 @@ class _DeMoBase(nn.Module):
             width_override=cfg.TPU.BACKBONE_WIDTH,
             heads_override=cfg.TPU.BACKBONE_HEADS,
             lora_rank=cfg.TPU.LORA_RANK if cfg.MODEL.FROZEN else 0,
+            lora_enable=tuple(m in cfg.TPU.LORA_ENABLE for m in "qkv"),
             use_adapter=cfg.MODEL.ADAPTER,
             use_prompt=cfg.MODEL.PROMPT,
             int8_mlp=cfg.TPU.INT8_MLP,

@@ -73,6 +73,8 @@ class PIFE(nn.Module):
     heads_override: int = -1
     # LoRA rank for the frozen-backbone fine-tuning path (MODEL.FROZEN).
     lora_rank: int = 0
+    # Per-slice qkv enablement (MergedLinear semantics when not all-True).
+    lora_enable: tuple = (True, True, True)
     # MambaPro FFN adapters in each CLIP block (MODEL.ADAPTER).
     use_adapter: bool = False
     # MambaPro per-block modality prompt tokens (MODEL.PROMPT); requires
@@ -171,6 +173,7 @@ class PIFE(nn.Module):
                 attn_implementation=self.attn_implementation,
                 remat=self.remat,
                 lora_rank=self.lora_rank,
+                lora_enable=self.lora_enable,
                 use_adapter=self.use_adapter,
                 use_prompt=self.use_prompt,
                 int8_mlp=self.int8_mlp,

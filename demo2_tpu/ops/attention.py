@@ -22,7 +22,7 @@ TPU-first notes:
 from __future__ import annotations
 
 import functools
-from typing import Any, Optional
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -70,6 +70,25 @@ def attention_core(
     return _xla_attention(q, k, v, scale, mask_bias, dropout_rate, deterministic, rng)
 
 
+def merged_lora_delta(lora_a, lora_b, enable, alpha: float):
+    """MergedLinear low-rank delta for a packed (c, n*c) projection.
+
+    Semantics of reference clip/LoRA.py:133-231 (`MergedLinear.merge_AB`):
+    each ENABLED slice s of the packed output gets its own rank-r adapter
+    a_s @ b_s (the grouped-conv1d form collapses to exactly this), disabled
+    slices stay zero (`zero_pad`).  ``lora_a`` is (n_on, c, r), ``lora_b``
+    (n_on, r, c); returns the (c, n*c) delta, scaled by ``alpha`` (the
+    reference's lora_alpha/r scaling folded into one knob as in the
+    whole-matrix path).
+    """
+    n = len(enable)
+    c = lora_a.shape[1]
+    deltas = jnp.einsum("ncr,nrd->ncd", lora_a, lora_b)  # (n_on, c, c)
+    idx = [i for i, e in enumerate(enable) if e]
+    full = jnp.zeros((n, c, c), deltas.dtype).at[jnp.asarray(idx)].set(deltas)
+    return alpha * jnp.transpose(full, (1, 0, 2)).reshape(c, n * c)
+
+
 class MultiHeadAttention(nn.Module):
     """Torch-compatible MHA: packed qkv in-projection + out-projection."""
 
@@ -84,6 +103,12 @@ class MultiHeadAttention(nn.Module):
     # meta_arch.py:61-62,72-73).  0 disables.
     lora_rank: int = 0
     lora_alpha: float = 1.0
+    # Per-sub-projection enablement — the MergedLinear semantics
+    # (clip/LoRA.py:133-231: independent rank-r adapters on the ENABLED
+    # q/k/v slices of the packed weight, zeros elsewhere).  (True,)*3
+    # keeps the original whole-matrix adapter (strictly more expressive,
+    # and the shape existing checkpoints carry).
+    lora_enable: Tuple[bool, bool, bool] = (True, True, True)
 
     @nn.compact
     def __call__(
@@ -106,7 +131,7 @@ class MultiHeadAttention(nn.Module):
 
         is_self_attn = key is query and value is key
         in_proj = self.param("in_proj_kernel", xavier_uniform_init, (c, 3 * c), jnp.float32)
-        if self.lora_rank > 0:
+        if self.lora_rank > 0 and all(self.lora_enable):
             lora_a = self.param(
                 "lora_a",
                 nn.initializers.normal(1.0 / self.lora_rank),
@@ -117,6 +142,23 @@ class MultiHeadAttention(nn.Module):
                 "lora_b", nn.initializers.zeros, (self.lora_rank, 3 * c), jnp.float32
             )
             in_proj = in_proj + self.lora_alpha * (lora_a @ lora_b)
+        elif self.lora_rank > 0 and any(self.lora_enable):
+            in_proj = in_proj + merged_lora_delta(
+                self.param(
+                    "lora_a",
+                    nn.initializers.normal(1.0 / self.lora_rank),
+                    (sum(self.lora_enable), c, self.lora_rank),
+                    jnp.float32,
+                ),
+                self.param(
+                    "lora_b",
+                    nn.initializers.zeros,
+                    (sum(self.lora_enable), self.lora_rank, c),
+                    jnp.float32,
+                ),
+                self.lora_enable,
+                self.lora_alpha,
+            )
         if self.use_bias:
             in_bias = self.param("in_proj_bias", nn.initializers.zeros, (3 * c,), jnp.float32)
         else:

@@ -255,7 +255,21 @@ def _ln_pallas_fwd(x, scale, bias, epsilon):
 def _ln_pallas_bwd(epsilon, res, dy):
     x, scale = res
     c = x.shape[-1]
-    interpret = jax.default_backend() not in ("tpu", "axon")
+    backend = jax.default_backend()
+    interpret = backend not in ("tpu", "axon")
+    if interpret and backend != "cpu":
+        # ADVICE r4: on a non-TPU accelerator (e.g. GPU) this perf-only flag
+        # would silently run the kernel INTERPRETED — warn loudly; CPU stays
+        # quiet because that is the intentional test path.
+        import warnings
+
+        warnings.warn(
+            f"TPU.PALLAS_LN_BWD requested on backend {backend!r}: the Mosaic "
+            "kernel runs in interpret mode there (orders of magnitude "
+            "slower). Disable the flag off-TPU.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     dx2, dg, db = _ln_bwd_call(
         x.reshape(-1, c), dy.reshape(-1, c), scale, epsilon, interpret
     )

@@ -120,6 +120,40 @@ def convert_mha(sd, prefix) -> Tree:
     }
 
 
+def convert_merged_lora(lora_A, lora_B, enable, r: int, alpha: float) -> Tree:
+    """Reference MergedLinear adapter tensors -> ops.attention layout.
+
+    Reference (clip/LoRA.py:133-231): ``lora_A`` is (r*n_on, in) and
+    ``lora_B`` (slice*n_on, r); slice g's weight delta is
+    zero_pad(B_g @ A_g) * alpha/r added to the (out, in) torch weight.  Our
+    packed kernel is (in, n*slice) with delta a_s @ b_s per enabled slice
+    (ops/attention.merged_lora_delta), so a_s = A_g.T, b_s = B_g.T, and the
+    alpha/r scaling is folded into b (the module's lora_alpha stays 1).
+    """
+    A = _arr(lora_A)
+    B = _arr(lora_B)
+    n_on = sum(bool(e) for e in enable)
+    c_in = A.shape[1]
+    sl = B.shape[0] // n_on
+    a = np.stack([A[g * r : (g + 1) * r].T for g in range(n_on)])  # (n_on, in, r)
+    b = np.stack([B[g * sl : (g + 1) * sl].T for g in range(n_on)])  # (n_on, r, sl)
+    assert a.shape == (n_on, c_in, r), a.shape
+    return {"lora_a": a, "lora_b": b * (alpha / r)}
+
+
+def convert_embedding_lora(lora_A, lora_B, r: int, alpha: float) -> Tree:
+    """Reference LoRA Embedding adapter -> clip_text token-LoRA layout.
+
+    Reference (clip/LoRA.py:33-90): A (r, vocab), B (width, r), delta =
+    A.T[ids] @ B.T * alpha/r — identical layout here; the scaling folds
+    into lora_b.
+    """
+    return {
+        "token_lora_a": _arr(lora_A),
+        "token_lora_b": _arr(lora_B) * (alpha / r),
+    }
+
+
 def convert_bnneck(sd, prefix) -> Tuple[Tree, Tree]:
     """Reference BNNeck (BatchNorm1d, frozen-zero bias) -> BNNeck module."""
     p, s = convert_bn(sd, prefix, use_bias=False)

@@ -116,3 +116,35 @@ def test_text_encoder_parity():
             @ tm.text_projection
         ).numpy()
     np.testing.assert_allclose(ours, want, rtol=5e-4, atol=5e-4)
+
+
+def test_text_tower_embedding_lora_builds_and_runs():
+    """Token-embedding LoRA (clip/LoRA.py:33-90 semantics) behind
+    lora_rank on the text tower: params exist, forward runs, and a fresh
+    adapter is a NO-OP (lora_A init zeros, reference reset_parameters)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from demo2_tpu.models.clip_text import CLIPTextTransformer
+
+    kw = dict(vocab_size=64, context_length=8, width=32, layers=1, heads=2,
+              embed_dim=16)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 64, (2, 8)))
+    base = CLIPTextTransformer(**kw)
+    vb = jax.jit(lambda: base.init(jax.random.PRNGKey(0), ids))()
+    lora = CLIPTextTransformer(lora_rank=4, **kw)
+    vl = jax.jit(lambda: lora.init(jax.random.PRNGKey(0), ids))()
+    p = vl["params"]
+    assert p["token_lora_a"].shape == (4, 64)
+    assert p["token_lora_b"].shape == (32, 4)
+    assert np.all(np.asarray(p["token_lora_a"]) == 0.0)  # ref init: A zeros
+    # graft the base weights (init RNG split differs once extra params
+    # exist) — a zero adapter must reproduce the base output exactly
+    pl = dict(p)
+    for k in vb["params"]:
+        pl[k] = vb["params"][k]
+    out_base = base.apply(vb, ids)
+    out_lora = lora.apply({"params": pl}, ids)
+    np.testing.assert_allclose(np.asarray(out_lora), np.asarray(out_base),
+                               rtol=1e-6, atol=1e-6)

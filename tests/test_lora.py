@@ -61,3 +61,121 @@ def test_frozen_backbone_trains_only_lora_and_heads(tiny_cfg):
     assert frozen_moved == 0.0, "frozen backbone params must not move"
     assert lora_moved > 0.0, "LoRA params must train"
     assert head_moved > 0.0, "heads must train"
+
+
+def test_merged_linear_parity_vs_reference():
+    """MergedLinear semantics (reference clip/LoRA.py:133-231): per-slice
+    rank-r adapters on the enabled q/k/v slices, zeros elsewhere, via the
+    converter (utils/ref_convert.convert_merged_lora) + the packed delta
+    (ops/attention.merged_lora_delta)."""
+    import torch
+
+    from ref_loader import load_ref
+
+    ref_lora = load_ref("modeling.clip.LoRA")
+    from demo2_tpu.ops.attention import merged_lora_delta
+    from demo2_tpu.utils.ref_convert import convert_merged_lora
+
+    torch.manual_seed(0)
+    c, r, alpha = 48, 4, 8
+    enable = [True, False, True]
+    m = ref_lora.MergedLinear(
+        c, 3 * c, r=r, lora_alpha=alpha, enable_lora=enable, bias=True
+    )
+    with torch.no_grad():  # fresh lora_B is zeros; give it signal
+        m.lora_A.normal_(0, 0.5)
+        m.lora_B.normal_(0, 0.5)
+    m.train()  # unmerged path: W untouched, low-rank term added on the fly
+    x = torch.randn(5, c)
+    want = m(x).detach().numpy()
+
+    conv = convert_merged_lora(m.lora_A.detach().numpy(),
+                               m.lora_B.detach().numpy(), enable, r, alpha)
+    delta = merged_lora_delta(
+        jnp.asarray(conv["lora_a"]), jnp.asarray(conv["lora_b"]),
+        tuple(enable), 1.0,
+    )
+    w = jnp.asarray(m.weight.detach().numpy()).T  # (c, 3c) packed kernel
+    got = np.asarray(jnp.asarray(x.numpy()) @ (w + delta)
+                     + jnp.asarray(m.bias.detach().numpy()))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    # merged (eval) mode folds the same delta into the weight — same output
+    m.eval()
+    np.testing.assert_allclose(
+        np.asarray(m(x).detach().numpy()), want, rtol=2e-5, atol=2e-5
+    )
+
+    # disabled slice (k) must be untouched: its delta columns are zero
+    d = np.asarray(delta)
+    assert np.all(d[:, c : 2 * c] == 0.0)
+    assert np.abs(d[:, :c]).max() > 0 and np.abs(d[:, 2 * c :]).max() > 0
+
+
+def test_embedding_lora_parity_vs_reference():
+    """Embedding adapter (reference clip/LoRA.py:33-90) through the
+    converter + models/clip_text.lora_embedding_delta."""
+    import torch
+
+    from ref_loader import load_ref
+
+    ref_lora = load_ref("modeling.clip.LoRA")
+    from demo2_tpu.models.clip_text import lora_embedding_delta
+    from demo2_tpu.utils.ref_convert import convert_embedding_lora
+
+    torch.manual_seed(1)
+    vocab, width, r, alpha = 64, 24, 4, 6
+    m = ref_lora.Embedding(vocab, width, r=r, lora_alpha=alpha)
+    with torch.no_grad():  # fresh lora_A is zeros; give it signal
+        m.lora_A.normal_(0, 0.5)
+    m.train()
+    ids = torch.randint(0, vocab, (3, 7))
+    want = m(ids).detach().numpy()
+
+    conv = convert_embedding_lora(m.lora_A.detach().numpy(),
+                                  m.lora_B.detach().numpy(), r, alpha)
+    tok = jnp.asarray(m.weight.detach().numpy())
+    got = np.asarray(
+        tok[jnp.asarray(ids.numpy())]
+        + lora_embedding_delta(
+            jnp.asarray(conv["token_lora_a"]),
+            jnp.asarray(conv["token_lora_b"]),
+            jnp.asarray(ids.numpy()), 1.0,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_frozen_backbone_merged_lora_subset_trains(tiny_cfg):
+    """MODEL.FROZEN + TPU.LORA_ENABLE='qv' builds the per-slice adapters
+    ((2, c, r)/(2, r, c) shapes) and the whole forward/backward runs."""
+    cfg = tiny_cfg
+    cfg.MODEL.FROZEN = True
+    cfg.TPU.LORA_RANK = 2
+    cfg.TPU.LORA_ENABLE = "qv"
+    cfg.SOLVER.OPTIMIZER_NAME = "Adam"
+    cfg.freeze()
+
+    train_pipe, sampler, _, _, nc, cams, views = make_dataloader(cfg)
+    model = make_model(cfg, nc, cams, views)
+    batch = next(train_pipe.iter_batches(sampler.epoch_indices(0), seed=0))
+    state, tx, ctx, _ = create_train_state(
+        cfg, model, jax.random.PRNGKey(0), batch, steps_per_epoch=2
+    )
+    flat = jax.tree_util.tree_leaves_with_path(state.params)
+    a_shapes = {tuple(l.shape) for p, l in flat
+                if any("lora_a" in str(k) for k in p)}
+    c = cfg.TPU.BACKBONE_WIDTH
+    assert (2, c, 2) in a_shapes, a_shapes  # (n_on=2 slices, c, r)
+
+    step = build_train_step(cfg, model, tx, ctx, mesh=None, donate=False)
+    s1, metrics = step(state, jnp.asarray(batch.images),
+                       jnp.asarray(batch.pids), jnp.asarray(batch.camids),
+                       jnp.asarray(batch.viewids), jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    moved = [
+        float(np.abs(np.asarray(l1, np.float32) - np.asarray(l0, np.float32)).max())
+        for (p, l0), l1 in zip(flat, jax.tree_util.tree_leaves(s1.params))
+        if any("lora_b" in str(k) for k in p)
+    ]
+    assert moved and max(moved) > 0.0, "merged-LoRA adapters must train"

@@ -323,8 +323,24 @@ def test_ln_pallas_bwd_matches_autodiff():
                        argnums=(0, 1, 2))(x, g, b)
         pal = jax.grad(loss(lambda *a: layernorm_pallas_bwd(*a, epsilon=1e-5)),
                        argnums=(0, 1, 2))(x, g, b)
-        for got, want, nm in zip(pal, ref, ("dx", "dscale", "dbias")):
+        # Elementwise comparison against an fp32 oracle (ADVICE r4: a
+        # global-max-normalized error masks large relative errors on small
+        # entries).  The bf16 reductions have real cancellation noise on
+        # near-zero entries — for the AUTODIFF chain too — so the atol is
+        # the measured autodiff-vs-oracle floor, not an arbitrary constant:
+        # the kernel must be as close to the true gradient as autodiff is.
+        oracle = jax.grad(
+            loss(lambda *a: _layernorm_fwd_expr(*a, 1e-5)), argnums=(0, 1, 2)
+        )(x.astype(jnp.float32), g, b)
+        for got, want, oracle_out, nm in zip(pal, ref, oracle,
+                                             ("dx", "dscale", "dbias")):
             got = np.asarray(got, np.float32)
             want = np.asarray(want, np.float32)
-            rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
-            assert rel < tol, (nm, shape, rel)
+            exact = np.asarray(oracle_out, np.float32)
+            floor = np.abs(want - exact).max()  # autodiff's own bf16 noise
+            # +1e-5 absolute: f32 reduction-order rounding (tree vs
+            # sequential) over ~300 rows on near-zero reduction outputs.
+            np.testing.assert_allclose(
+                got, exact, rtol=tol, atol=4.0 * floor + 1e-5,
+                err_msg=f"{nm} {shape} (autodiff noise floor {floor:.2e})",
+            )

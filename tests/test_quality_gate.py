@@ -108,3 +108,23 @@ def test_trajectory_recorder_series():
     rec.add_scalar("Val/mAP", 0.5, 2)
     assert rec.series("Val/mAP") == [0.3, 0.5]
     assert rec.series("Val/Rank-1") == []
+
+
+def test_gate_schedule_points():
+    """The two operating points' schedule shapes (VERDICT r4 #6): 'tuned'
+    keeps the round-4 pinned shape; 'reference' scales the canonical
+    recipe's warmup-10 + steps-(30,40) of 50 epochs proportionally."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from quality_gate import gate_schedule
+
+    assert gate_schedule("tuned", 8) == (2, (5,))
+    assert gate_schedule("reference", 8) == (2, (5, 6))
+    assert gate_schedule("reference", 10) == (2, (6, 8))
+    # at the reference's own budget the shape is exact
+    assert gate_schedule("reference", 50) == (10, (30, 40))
+    # overrides still win
+    assert gate_schedule("tuned", 8, warmup_override=1, step_override=4) == (
+        1, (4,))
+    # degenerate budgets keep warmup < first step < second step
+    w, st = gate_schedule("reference", 3)
+    assert w >= 1 and st[0] > w and st[1] > st[0]

@@ -56,6 +56,27 @@ class TrajectoryRecorder:
         return [v for t, v, _ in self.scalars if t == tag]
 
 
+def gate_schedule(point: str, epochs: int, warmup_override: int = -1,
+                  step_override: int = -1):
+    """LR-schedule shape for a gate operating point -> (warmup, steps).
+
+    'tuned': warmup E/3 + one x0.1 milestone at 2E/3 (round-4 pinned).
+    'reference': the canonical recipe's proportions — warmup 10/50 and TWO
+    x0.1 milestones at (30,40)/50 (configs/RGBNT201/DeMo.yml,
+    DeMo_SDTPS_DGAF_ablation_test.yml).
+    """
+    if point == "reference":
+        warmup = warmup_override if warmup_override >= 0 else max(
+            1, round(epochs * 10 / 50))
+        steps = (max(warmup + 1, round(epochs * 30 / 50)),
+                 max(warmup + 2, round(epochs * 40 / 50)))
+    else:
+        warmup = warmup_override if warmup_override >= 0 else max(1, epochs // 3)
+        steps = (step_override if step_override >= 0 else max(
+            warmup + 1, 2 * epochs // 3),)
+    return warmup, steps
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=8)
@@ -67,6 +88,16 @@ def main():
                          "(0.35 = the e2e bench dataset, saturates). "
                          "Default: the arch's pinned operating point "
                          "(tools/arch_knobs.py GATE_POINTS)")
+    ap.add_argument("--point", default="tuned", choices=("tuned", "reference"),
+                    help="operating point (VERDICT r4 #6): 'tuned' = the "
+                         "round-4 pinned gate schedule (warmup E/3, one x0.1 "
+                         "milestone at 2E/3); 'reference' = the canonical "
+                         "recipe's schedule SHAPE scaled to the gate budget — "
+                         "warmup 20%% of epochs and TWO x0.1 milestones at "
+                         "60%%/80%% (configs/RGBNT201/DeMo.yml + "
+                         "DeMo_SDTPS_DGAF_ablation_test.yml: warmup 10, "
+                         "steps (30,40) of 50 epochs, lr 3.5e-4, ID 0.25 + "
+                         "triplet 1.0 — layers/make_loss.py:37)")
     ap.add_argument("--warmup-epochs", type=int, default=-1,
                     help="compress the warmup ramp to the gate's budget "
                          "(default epochs//3; the production 10-of-120 ramp "
@@ -110,8 +141,10 @@ def main():
                     help="CPU mechanics smoke: tiny model + images")
     args = ap.parse_args()
     if args.report is None:
-        args.report = ("reports/quality_gate.json" if args.arch == "demo"
-                       else f"reports/quality_gate_{args.arch}.json")
+        base = ("reports/quality_gate" if args.arch == "demo"
+                else f"reports/quality_gate_{args.arch}")
+        suffix = "_ref" if args.point == "reference" else ""
+        args.report = f"{base}{suffix}.json"
 
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(name)s: %(message)s")
@@ -153,15 +186,13 @@ def main():
         cfg.SOLVER.BASE_LR = args.base_lr
     if args.compute_dtype is not None:
         cfg.TPU.COMPUTE_DTYPE = args.compute_dtype
-    # Compress the LR schedule SHAPE (warmup ramp + one x0.1 milestone) to
-    # the gate's epoch budget.  Everything else (optimizer, batch, bf16
-    # flags, kernels) stays the production recipe.
-    warmup = args.warmup_epochs if args.warmup_epochs >= 0 else max(
-        1, args.epochs // 3)
-    step = args.lr_step if args.lr_step >= 0 else max(
-        warmup + 1, 2 * args.epochs // 3)
+    # Compress the LR schedule SHAPE to the gate's epoch budget.  Everything
+    # else (optimizer, batch, bf16 flags, kernels) stays the production
+    # recipe.
+    warmup, steps = gate_schedule(
+        args.point, args.epochs, args.warmup_epochs, args.lr_step)
     cfg.SOLVER.WARMUP_ITERS = warmup
-    cfg.SOLVER.STEPS = (step,)
+    cfg.SOLVER.STEPS = steps
     cfg.SOLVER.EVAL_PERIOD = 1
     cfg.SOLVER.LOG_PERIOD = 10
     cfg.SOLVER.CHECKPOINT_PERIOD = 0
@@ -207,7 +238,7 @@ def main():
     r1s = rec.series("Val/Rank-1")
     report = {
         "config": {
-            "arch": args.arch,
+            "arch": args.arch, "point": args.point,
             "epochs": args.epochs, "pids": args.pids,
             "imgs_per_pid": args.imgs_per_pid, "id_weight": args.id_weight,
             "warmup_epochs": cfg.SOLVER.WARMUP_ITERS,

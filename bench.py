@@ -151,10 +151,12 @@ class Reporter:
     def __init__(self, hb_path, res_path):
         self.hb_path = hb_path
         self.res_path = res_path
+        self.t0 = time.monotonic()
 
     def stage(self, name: str, deadline: float) -> None:
         _maybe_fault(name, self)
-        log(f"[stage] {name} (deadline {deadline:.0f}s)")
+        log(f"[stage +{time.monotonic() - self.t0:.1f}s] {name} "
+            f"(deadline {deadline:.0f}s)")
         if not self.hb_path:
             return
         tmp = f"{self.hb_path}.tmp"
@@ -178,6 +180,12 @@ def _maybe_fault(point: str, reporter) -> None:
     mode, _, at = fault.partition(":")
     if at != point:
         return
+    if mode.endswith("once"):  # fire on the first attempt only (retry tests)
+        marker = (reporter.hb_path or "/tmp/d2t_bench_fault") + ".fault_once"
+        if os.path.exists(marker):
+            return
+        open(marker, "w").close()
+        mode = mode[: -len("once")]
     if mode == "hang":
         # Declare a short deadline, then stall like a wedged RPC would.
         dl = float(os.environ.get("DEMO2_BENCH_FAULT_DEADLINE", 2.0))
@@ -317,7 +325,10 @@ def measure_infer(cfg, rep: Reporter):
     )()
 
     @jax.jit
-    def fwd(images, cams):
+    def fwd(variables, images, cams):
+        # variables as an ARGUMENT: closing over them would inline 91M
+        # params as HLO constants (the remote compile service rejects the
+        # resulting payload with HTTP 413).
         return model.apply(variables, images, cams, train=False)["embedding"]
 
     results = {}
@@ -325,12 +336,12 @@ def measure_infer(cfg, rep: Reporter):
         imgs = jax.random.normal(rng, (bs, 3, h, w, 3), jnp.float32) * 0.1
         cams = jnp.zeros((bs,), jnp.int32)
         rep.stage(f"infer-compile-b{bs}", 600)
-        jax.block_until_ready(fwd(imgs, cams))  # compile
-        jax.block_until_ready(fwd(imgs, cams))  # warm
+        jax.block_until_ready(fwd(variables, imgs, cams))  # compile
+        jax.block_until_ready(fwd(variables, imgs, cams))  # warm
         rep.stage(f"infer-timed-b{bs}", 240)
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = fwd(imgs, cams)
+            out = fwd(variables, imgs, cams)
         jax.block_until_ready(out)
         dt = time.perf_counter() - t0
         results[bs] = (dt / iters, bs * iters / dt)
@@ -385,21 +396,9 @@ def configure(on_tpu, n_dev, overrides, epochs_arg, rep=None):
     cfg.DATASETS.ROOT_DIR = root
     if epochs_arg:
         epochs = epochs_arg
-    for ov in overrides:
-        path, _, raw = ov.partition("=")
-        sec, _, key = path.partition(".")
-        node = getattr(cfg, sec)
-        cur = getattr(node, key)
-        if isinstance(cur, bool):
-            val = raw.lower() in ("1", "true", "yes", "on")
-        elif isinstance(cur, int):
-            val = int(raw)
-        elif isinstance(cur, float):
-            val = float(raw)
-        else:
-            val = raw
-        setattr(node, key, val)
-        log(f"override: {sec}.{key} = {val!r}")
+    from demo2_tpu.config.presets import apply_overrides
+
+    apply_overrides(cfg, overrides, log=log)
     cfg.freeze()
     return cfg, root, epochs
 
@@ -552,49 +551,74 @@ def supervise(args) -> int:
 
     # Child stdout is routed to our stderr: OUR stdout carries only the
     # parseable records the driver scores.
-    child = subprocess.Popen(child_cmd, stdout=sys.stderr, stderr=sys.stderr)
     start = time.monotonic()
     offset = 0
     last = {"provisional": None, "final": None, "skip": None, "stage": "spawn"}
     kill_reason = None
+    child = None
+    max_attempts = 2  # one retry for PRE-measurement infra blips (the
+    # 2026-08-20 tunnel degradation stalled create_train_state twice, then
+    # recovered — a fresh child minutes later succeeded at full speed)
     try:
-        while True:
+        for attempt in range(1, max_attempts + 1):
+            if os.path.exists(hb_path):
+                os.unlink(hb_path)  # stale heartbeat from a killed attempt
+            kill_reason = None
+            attempt_start = time.monotonic()
+            child = subprocess.Popen(child_cmd, stdout=sys.stderr,
+                                     stderr=sys.stderr)
+            while True:
+                recs, offset = _read_records(res_path, offset)
+                for rec in recs:
+                    last[rec.get("kind", "?")] = rec
+                    if rec.get("kind") == "provisional":
+                        _emit_from_record(rec, {"provisional": True})
+                rc = child.poll()
+                if rc is not None:
+                    break
+                hb = _read_heartbeat(hb_path)
+                if hb:
+                    last["stage"] = hb.get("stage", "?")
+                    if time.time() > hb["t"] + hb.get("deadline", 240):
+                        kill_reason = f"stage-stall:{last['stage']}"
+                elif time.monotonic() - attempt_start > 240:
+                    kill_reason = "no-heartbeat"
+                if time.monotonic() - start > args.total_secs:
+                    kill_reason = "total-budget"
+                if stop.is_set():
+                    kill_reason = (
+                        f"terminated:{term_reason[0] if term_reason else '?'}")
+                if kill_reason:
+                    log(f"watchdog: killing child ({kill_reason}) at stage "
+                        f"{last['stage']}")
+                    child.kill()
+                    child.wait()
+                    rc = None
+                    break
+                stop.wait(2.0)
             recs, offset = _read_records(res_path, offset)
             for rec in recs:
                 last[rec.get("kind", "?")] = rec
                 if rec.get("kind") == "provisional":
                     _emit_from_record(rec, {"provisional": True})
-            rc = child.poll()
-            if rc is not None:
+            done = (
+                (rc == 0 and last["final"] is not None)
+                or last["skip"] is not None
+                or last["provisional"] is not None  # partial measurement —
+                # report it rather than spend the budget re-measuring
+                or stop.is_set()
+                or kill_reason == "total-budget"
+                or time.monotonic() - start > args.total_secs * 0.5
+            )
+            if done or attempt == max_attempts:
                 break
-            hb = _read_heartbeat(hb_path)
-            if hb:
-                last["stage"] = hb.get("stage", "?")
-                if time.time() > hb["t"] + hb.get("deadline", 240):
-                    kill_reason = f"stage-stall:{last['stage']}"
-            elif time.monotonic() - start > 240:
-                kill_reason = "no-heartbeat"
-            if time.monotonic() - start > args.total_secs:
-                kill_reason = "total-budget"
-            if stop.is_set():
-                kill_reason = f"terminated:{term_reason[0] if term_reason else '?'}"
-            if kill_reason:
-                log(f"watchdog: killing child ({kill_reason}) at stage "
-                    f"{last['stage']}")
-                child.kill()
-                child.wait()
-                rc = None
-                break
-            stop.wait(2.0)
-        recs, offset = _read_records(res_path, offset)
-        for rec in recs:
-            last[rec.get("kind", "?")] = rec
-            if rec.get("kind") == "provisional":
-                _emit_from_record(rec, {"provisional": True})
+            log(f"watchdog: retrying child (attempt {attempt + 1}/"
+                f"{max_attempts}) after pre-measurement failure "
+                f"({kill_reason or f'rc={rc}'})")
     finally:
         signal.signal(signal.SIGTERM, old_term)
         signal.signal(signal.SIGINT, old_int)
-        if child.poll() is None:
+        if child is not None and child.poll() is None:
             child.kill()
             child.wait()
 

@@ -53,3 +53,27 @@ def setup_compilation_cache(path: str = "/root/repo/.jax_cache") -> None:
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def apply_overrides(cfg, overrides, log=None) -> None:
+    """Apply "SEC.KEY=value" strings (bench.py / quality_gate --set).
+
+    Values are coerced to the current attribute's type (bool accepts
+    1/true/yes/on, case-insensitive).
+    """
+    for ov in overrides:
+        path, _, raw = ov.partition("=")
+        sec, _, key = path.partition(".")
+        node = getattr(cfg, sec)
+        cur = getattr(node, key)
+        if isinstance(cur, bool):
+            val = raw.lower() in ("1", "true", "yes", "on")
+        elif isinstance(cur, int):
+            val = int(raw)
+        elif isinstance(cur, float):
+            val = float(raw)
+        else:
+            val = raw
+        setattr(node, key, val)
+        if log is not None:
+            log(f"override: {sec}.{key} = {val!r}")

@@ -47,7 +47,11 @@ def create_train_state(
     batch_stats = variables.get("batch_stats", {})
 
     tx, center_tx, schedule = make_optimizer(cfg, params, steps_per_epoch)
-    opt_state = tx.init(params)
+    # jit for the same reason as model.init above: eager optax init
+    # dispatches one zeros_like PER PARAM LEAF (~300 round-trips), which
+    # measured 167 s through the remote tunnel vs seconds jitted
+    # (reports/logs/r5_bench_611_122617.log stage ladder).
+    opt_state = jax.jit(tx.init)(params)
 
     centers = None
     center_opt_state = None

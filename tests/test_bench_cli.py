@@ -129,13 +129,28 @@ def _last_record(out: str) -> dict:
 
 def test_hang_before_measure_emits_skip_record():
     """A wedged RPC before any measurement (the round-4 driver failure
-    mode): the watchdog must kill the child and emit a parseable skip."""
+    mode): the watchdog must kill the child, retry ONCE (infra blips
+    recover), and emit a parseable skip when both attempts stall."""
     rc, out, err = _run_cli(fault="hang:jax-import")
     assert rc == 0, err[-2000:]
     rec = _last_record(out)
     assert rec["value"] is None
     assert "stage-stall" in rec["skipped"]
     assert rec["stage"] == "jax-import"
+    assert err.count("[fault] hanging") == 2  # both attempts ran
+    assert "retrying child (attempt 2/2)" in err
+
+
+@pytest.mark.slow
+def test_pre_measure_hang_recovers_on_retry():
+    """A transient stall on attempt 1 must not cost the measurement: the
+    retry child runs clean and the final record carries a real value."""
+    rc, out, err = _run_cli(fault="hangonce:train-state-init", timeout=900)
+    assert rc == 0, err[-2000:]
+    rec = _last_record(out)
+    assert rec["value"] and rec["value"] > 0
+    assert "provisional" not in rec
+    assert "retrying child (attempt 2/2)" in err
 
 
 def test_total_budget_kill_emits_skip_record():

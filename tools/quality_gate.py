@@ -135,6 +135,11 @@ def main():
                          " for the flagship, reports/quality_gate_<arch>.json"
                          " otherwise, so arch runs don't overwrite the pinned"
                          " flagship record)")
+    ap.add_argument("--set", action="append", default=[], metavar="SEC.KEY=V",
+                    help="config override applied before freeze (same syntax "
+                         "as bench.py --set), e.g. "
+                         "--set TPU.BF16_SECOND_MOMENT=false for numerics "
+                         "A/Bs at the gate operating point")
     ap.add_argument("--report-only", action="store_true",
                     help="record the trajectory, skip the assertions")
     ap.add_argument("--tiny", action="store_true",
@@ -204,6 +209,10 @@ def main():
         cfg.TEST.IMS_PER_BATCH = 32
         args.pids, args.imgs_per_pid, args.test_pids = 12, 8, 8
         src = (72, 36)
+    from demo2_tpu.config.presets import apply_overrides
+
+    apply_overrides(cfg, args.set,
+                    log=lambda m: print(m, file=sys.stderr, flush=True))
     cfg.freeze()
 
     t0 = time.perf_counter()
@@ -238,7 +247,7 @@ def main():
     r1s = rec.series("Val/Rank-1")
     report = {
         "config": {
-            "arch": args.arch, "point": args.point,
+            "arch": args.arch, "point": args.point, "overrides": args.set,
             "epochs": args.epochs, "pids": args.pids,
             "imgs_per_pid": args.imgs_per_pid, "id_weight": args.id_weight,
             "warmup_epochs": cfg.SOLVER.WARMUP_ITERS,

@@ -409,10 +409,13 @@ def do_train(
         losses, accs = [], []
 
         def flush(it, gstep, m):
-            # Runs on the async-writer thread: the float() conversions block
-            # on tunnel RTT there, not on the dispatch thread.
+            # Runs on the async-writer thread: the readback blocks on tunnel
+            # RTT there, not on the dispatch thread.  ONE device_get for the
+            # whole metrics dict — each float(jax.Array) is a separate
+            # transfer holding the client lock, and this closure used four.
             if not primary:
                 return
+            m = jax.device_get(m)
             lr = float(schedule(gstep)) if schedule else 0.0
             logger.info(
                 "Epoch[%d] Iteration[%d] Loss: %.3f, Acc: %.3f, Base Lr: %.2e",
@@ -434,6 +437,15 @@ def do_train(
                     state, *cargs, jnp.asarray(idx_all[n_done]), rng
                 )
             n_done += k
+            # Kick off the device->host DMA for the tiny metrics now, so
+            # the async flush's device_get finds the values already on
+            # their way instead of issuing a blocking transfer that
+            # contends with the next chunk's dispatch for the client.
+            for v in metrics.values():
+                try:
+                    v.copy_to_host_async()
+                except AttributeError:
+                    break
             async_log.submit(
                 functools.partial(flush, n_done, step0 + n_done, metrics)
             )

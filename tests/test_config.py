@@ -114,3 +114,25 @@ def test_yaml_bool_into_str_knob_raises(tmp_path):
     cfg.merge_from_file(str(y3))
     assert cfg.MODEL.IF_LABELSMOOTH == "on"
     assert cfg.DATALOADER.NATIVE_DECODE is True  # loader normalizes to 'on'
+
+
+def test_apply_overrides_type_coercion():
+    """Shared --set parser (bench.py / tools/quality_gate.py)."""
+    from demo2_tpu.config import get_cfg_defaults
+    from demo2_tpu.config.presets import apply_overrides
+
+    cfg = get_cfg_defaults()
+    seen = []
+    apply_overrides(
+        cfg,
+        ["TPU.BF16_SECOND_MOMENT=true", "SOLVER.BASE_LR=0.001",
+         "SOLVER.IMS_PER_BATCH=32", "MODEL.DGAF_VERSION=v4",
+         "TPU.USE_FLASH_ATTENTION=off"],
+        log=seen.append,
+    )
+    assert cfg.TPU.BF16_SECOND_MOMENT is True
+    assert cfg.SOLVER.BASE_LR == 0.001
+    assert cfg.SOLVER.IMS_PER_BATCH == 32
+    assert cfg.MODEL.DGAF_VERSION == "v4"
+    assert cfg.TPU.USE_FLASH_ATTENTION is False
+    assert len(seen) == 5

@@ -92,7 +92,25 @@ class CLIPTextTransformer(nn.Module):
     lora_alpha: float = 1.0
 
     @nn.compact
-    def __call__(self, text: jnp.ndarray) -> jnp.ndarray:  # (B, 77) int32
+    def __call__(
+        self,
+        text: Optional[jnp.ndarray] = None,  # (B, 77) int32 token ids
+        *,
+        prompt_embeds: Optional[jnp.ndarray] = None,  # (B, 77, width)
+        eot_idx: Optional[jnp.ndarray] = None,  # (B,) EOT positions
+    ) -> jnp.ndarray:
+        """Token ids OR pre-embedded prompts -> (B, embed_dim).
+
+        The embedded path is the CLIP-ReID `TextEncoder` semantics
+        (reference make_model_clipreid.py:31-40): PromptLearner output
+        skips the token embedding and enters at the positional add, with
+        the EOT pooling position supplied explicitly (the ids that would
+        locate it never exist for learned context vectors).
+        """
+        if (text is None) == (prompt_embeds is None):
+            raise ValueError("pass exactly one of text / prompt_embeds")
+        if prompt_embeds is not None and eot_idx is None:
+            raise ValueError("prompt_embeds requires eot_idx")
         f32 = jnp.float32
         tok = self.param(
             "token_embedding",
@@ -106,7 +124,10 @@ class CLIPTextTransformer(nn.Module):
             (self.context_length, self.width),
             f32,
         )
-        x = tok[text].astype(self.dtype) + pos.astype(self.dtype)
+        if prompt_embeds is not None:
+            x = prompt_embeds.astype(self.dtype) + pos.astype(self.dtype)
+        else:
+            x = tok[text].astype(self.dtype) + pos.astype(self.dtype)
         if self.lora_rank > 0:
             la = self.param(
                 "token_lora_a", nn.initializers.zeros,
@@ -116,9 +137,10 @@ class CLIPTextTransformer(nn.Module):
                 "token_lora_b", nn.initializers.normal(1.0),
                 (self.width, self.lora_rank), f32,
             )
-            x = x + lora_embedding_delta(
-                la, lb, text, self.lora_alpha
-            ).astype(self.dtype)
+            if text is not None:
+                x = x + lora_embedding_delta(
+                    la, lb, text, self.lora_alpha
+                ).astype(self.dtype)
 
         # Causal mask as an additive bias (reference fills strict upper
         # triangle with -inf; -1e30 keeps the softmax fp32-safe).
@@ -137,7 +159,69 @@ class CLIPTextTransformer(nn.Module):
             (self.width, self.embed_dim),
             f32,
         )
-        # EOT pooling: the EOT token id (49407) is each row's max token id.
-        eot = jnp.argmax(text, axis=-1)  # (B,)
+        # EOT pooling: the EOT token id (49407) is each row's max token id;
+        # the embedded path carries the position explicitly instead.
+        if eot_idx is not None:
+            eot = jnp.broadcast_to(jnp.asarray(eot_idx), x.shape[:1])
+        else:
+            eot = jnp.argmax(text, axis=-1)  # (B,)
         pooled = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]
         return (pooled.astype(f32) @ proj).astype(jnp.float32)
+
+
+class PromptLearner(nn.Module):
+    """CLIP-ReID prompt learner (reference make_model_clipreid.py:190-237).
+
+    Dormant in the reference fork (only `load_clip_to_cpu` is imported by
+    meta_arch.py); first-class here for surface completeness.  The template
+    "A photo of a X X X X person." (or "... vehicle.") is tokenized once;
+    its SOT+context prefix and suffix embeddings are looked up from the
+    LIVE token-embedding table (the reference freezes them as buffers at
+    init — equivalent while the text tower is frozen, which is the only
+    regime the CLIP-ReID stage-1 recipe uses), and the 4 `X` slots are
+    replaced by per-class learnable vectors (init normal 0.02).
+
+    `__call__(labels, token_embedding) -> (B, 77, ctx_dim)` prompts for
+    `CLIPTextTransformer(..., prompt_embeds=..., eot_idx=self.eot_pos)`.
+    """
+
+    num_class: int
+    ctx_dim: int = 512
+    n_ctx: int = 4  # template context tokens before the class slots
+    n_cls_ctx: int = 4  # learnable per-class slots (the X X X X)
+    vehicle: bool = False  # VehicleID/veri template variant
+    context_length: int = 77
+
+    @property
+    def template_ids(self):
+        from ..utils.bpe import tokenize
+
+        text = ("A photo of a X X X X vehicle." if self.vehicle
+                else "A photo of a X X X X person.")
+        return tokenize(text, context_length=self.context_length)[0]
+
+    @property
+    def eot_pos(self) -> int:
+        import numpy as np
+
+        return int(np.argmax(self.template_ids))
+
+    @nn.compact
+    def __call__(self, labels: jnp.ndarray, token_embedding: jnp.ndarray):
+        ids = jnp.asarray(self.template_ids)
+        emb = token_embedding[ids].astype(jnp.float32)  # (77, D)
+        prefix = emb[: self.n_ctx + 1]  # SOT + "a photo of a"
+        suffix = emb[self.n_ctx + 1 + self.n_cls_ctx:]  # ".<EOT>" + pad
+        cls_ctx = self.param(
+            "cls_ctx", nn.initializers.normal(0.02),
+            (self.num_class, self.n_cls_ctx, self.ctx_dim), jnp.float32,
+        )
+        b = labels.shape[0]
+        return jnp.concatenate(
+            [
+                jnp.broadcast_to(prefix, (b,) + prefix.shape),
+                cls_ctx[labels],
+                jnp.broadcast_to(suffix, (b,) + suffix.shape),
+            ],
+            axis=1,
+        )

@@ -148,3 +148,56 @@ def test_text_tower_embedding_lora_builds_and_runs():
     out_lora = lora.apply({"params": pl}, ids)
     np.testing.assert_allclose(np.asarray(out_lora), np.asarray(out_base),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_prompt_learner_parity_vs_reference():
+    """PromptLearner (reference make_model_clipreid.py:190-237, dormant
+    there): identical prompts given the same embedding table + class
+    vectors, and the embedded-prompt encoder path equals the id path on a
+    pure-token prompt."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+
+    from ref_loader import load_ref
+    from demo2_tpu.models.clip_text import CLIPTextTransformer, PromptLearner
+
+    # the reference module calls .cuda() on the tokenized prompt; no GPU
+    # here, so make it a no-op before import-time use
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    mm = load_ref("modeling.make_model_clipreid")
+
+    num_class, width = 6, 512
+    emb = torch.nn.Embedding(49408, width)
+    torch.manual_seed(3)
+    torch.nn.init.normal_(emb.weight, std=0.02)
+    ref = mm.PromptLearner(num_class, "RGBNT201", torch.float32, emb)
+    labels = torch.tensor([0, 3, 5, 1])
+    want = ref(labels).detach().numpy()  # (4, 77, 512)
+
+    mine = PromptLearner(num_class=num_class, ctx_dim=width)
+    vars_ = {"params": {"cls_ctx": jnp.asarray(ref.cls_ctx.detach().numpy())}}
+    got = mine.apply(
+        vars_, jnp.asarray(labels.numpy()),
+        jnp.asarray(emb.weight.detach().numpy()),
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-6)
+
+    # EOT position: the reference pools at tokenized_prompts.argmax(-1)
+    assert mine.eot_pos == int(ref.tokenized_prompts.argmax(-1)[0])
+
+    # encoder consistency: ids path == embedded path for real token ids
+    kw = dict(vocab_size=64, context_length=10, width=32, layers=1, heads=2,
+              embed_dim=16)
+    ids = jnp.asarray(np.random.default_rng(1).integers(1, 63, (3, 10)))
+    ids = ids.at[:, -1].set(63)  # force EOT = max id at the end
+    tower = CLIPTextTransformer(**kw)
+    v = jax.jit(lambda: tower.init(jax.random.PRNGKey(0), ids))()
+    out_ids = tower.apply(v, ids)
+    tok = v["params"]["token_embedding"]
+    out_emb = tower.apply(
+        v, prompt_embeds=tok[ids], eot_idx=jnp.full((3,), 9)
+    )
+    np.testing.assert_allclose(np.asarray(out_emb), np.asarray(out_ids),
+                               rtol=1e-6, atol=1e-6)

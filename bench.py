@@ -167,7 +167,13 @@ class Reporter:
     def record(self, kind: str, payload: dict) -> None:
         rec = {"kind": kind, **payload}
         if not self.res_path:
-            log(f"[record] {json.dumps(rec)}")
+            # In-process mode (--no-watchdog): honor the stdout contract
+            # directly — the last line must still be ONE parseable record.
+            meta = {"provisional": True} if kind == "provisional" else None
+            if kind == "skip":
+                emit_skip(rec.get("reason", "unknown"))
+            else:
+                _emit_from_record(rec, meta)
             return
         with open(self.res_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
@@ -434,7 +440,21 @@ def child_main(args) -> int:
             n_dev_req = avail
 
         if args.mode == "infer":
-            cfg, _root, _ = configure(on_tpu, 1, args.set, 0, rep)
+            # cfg only (no dataset): measure_infer benchmarks the jitted
+            # eval forward on device arrays — generating/validating the
+            # 3,933-sample JPEG set here was a pure cold-start tax.
+            from demo2_tpu.config import get_cfg_defaults
+            from demo2_tpu.config.presets import apply_flagship, apply_overrides
+
+            from demo2_tpu.config.presets import apply_tiny
+
+            rep.stage("infer-config", 120)
+            cfg = get_cfg_defaults()
+            apply_flagship(cfg, on_tpu)
+            if not on_tpu:  # CPU smoke keeps the tiny shrink
+                apply_tiny(cfg)
+            apply_overrides(cfg, args.set, log=log)
+            cfg.freeze()
             res = measure_infer(cfg, rep)
             rep.record("final", {
                 "metric": METRIC_INFER, "unit": "img/s",
@@ -637,8 +657,12 @@ def supervise(args) -> int:
             metric=metric,
         )
         return 0
-    return emit_skip(f"tpu-hang-midrun:{failure}",
-                     extra={"stage": last["stage"]}, metric=metric)
+    # Distinct classification: a stall/kill reads as infrastructure
+    # ("tpu-hang-midrun"), a child that EXITED nonzero is a crash — most
+    # likely a code bug that must not masquerade as TPU trouble.
+    reason = (f"tpu-hang-midrun:{failure}" if kill_reason
+              else f"bench-{failure}")
+    return emit_skip(reason, extra={"stage": last["stage"]}, metric=metric)
 
 
 def main():

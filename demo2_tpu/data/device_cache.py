@@ -205,6 +205,36 @@ def normalize_batch(u8, mean, std) -> jnp.ndarray:
 # invocation; persisting the decoded array keyed on the dataset's file
 # identity turns it into a once-per-machine cost (VERDICT r4 #2).
 DECODE_CACHE_DIR = os.environ.get("DEMO2_DECODE_CACHE_DIR", "/tmp/d2t_decode_cache")
+# Size budget: in-place dataset re-renders (quality-gate A/B sweeps) change
+# every mtime, so each parameterization writes a fresh ~1.2 GB entry — the
+# oldest entries are evicted past this budget (a tmpfs /tmp makes unbounded
+# growth a RAM leak).
+DECODE_CACHE_MAX_BYTES = int(
+    os.environ.get("DEMO2_DECODE_CACHE_MAX_BYTES", 8 << 30)
+)
+
+
+def _prune_decode_cache(keep: str) -> None:
+    """Evict oldest .npy entries beyond DECODE_CACHE_MAX_BYTES (never
+    ``keep``, the entry just written)."""
+    try:
+        entries = []
+        for name in os.listdir(DECODE_CACHE_DIR):
+            if not name.endswith(".npy"):
+                continue
+            p = os.path.join(DECODE_CACHE_DIR, name)
+            st = os.stat(p)
+            entries.append((st.st_mtime, st.st_size, p))
+        total = sum(s for _, s, _ in entries)
+        for _, size, p in sorted(entries):  # oldest first
+            if total <= DECODE_CACHE_MAX_BYTES:
+                break
+            if os.path.abspath(p) == os.path.abspath(keep):
+                continue
+            os.unlink(p)
+            total -= size
+    except OSError:
+        pass  # best-effort housekeeping
 
 
 def _decode_cache_key(pipe, train: bool) -> Optional[str]:
@@ -252,6 +282,7 @@ def _decode_all_cached(pipe, train: bool) -> np.ndarray:
         with open(tmp, "wb") as f:  # np.save(path) would append .npy
             np.save(f, out)
         os.replace(tmp, path)
+        _prune_decode_cache(keep=path)
     except OSError:
         pass  # persistence is best-effort; the decode result still stands
     return out

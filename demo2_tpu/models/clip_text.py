@@ -75,6 +75,19 @@ def lora_embedding_delta(lora_a, lora_b, ids, alpha: float):
     return alpha * (after_a @ lora_b.T)
 
 
+def adapted_token_embedding(tok, lora_a, lora_b, alpha: float):
+    """Full-table view of the embedding adapter: tok + alpha * A.T @ B.T.
+
+    The prompt-embeds encoder path bypasses the id lookup, so the LoRA
+    delta cannot be applied there; PromptLearner consumers with an active
+    embedding adapter must build prompts from THIS table (the reference's
+    PromptLearner consumes the adapted nn.Embedding the same way,
+    make_model_clipreid.py:203-206).  Row-for-row equal to
+    `lora_embedding_delta` at every id.
+    """
+    return tok + alpha * (lora_a.T @ lora_b.T)
+
+
 class CLIPTextTransformer(nn.Module):
     """`encode_text` equivalent: (B, 77) int tokens -> (B, embed_dim)."""
 
@@ -183,6 +196,9 @@ class PromptLearner(nn.Module):
 
     `__call__(labels, token_embedding) -> (B, 77, ctx_dim)` prompts for
     `CLIPTextTransformer(..., prompt_embeds=..., eot_idx=self.eot_pos)`.
+    When the tower carries a token-embedding LoRA adapter, pass
+    `adapted_token_embedding(...)` as the table — the embedded path cannot
+    apply the per-id delta itself (no ids exist for learned vectors).
     """
 
     num_class: int

@@ -221,3 +221,42 @@ def test_scaling_mode_cpu_mesh(tmp_path):
     assert rec["devices"] == 8
     assert rec["value"] and rec["value"] > 0
     assert "skipped" not in rec
+
+
+def test_reporter_without_files_honors_stdout_contract(capsys):
+    """--no-watchdog mode (empty hb/result paths): final/skip/provisional
+    records must still land on stdout as parseable JSON (review finding:
+    they previously went to stderr logs only)."""
+    rep = bench.Reporter("", "")
+    rep.record("provisional", {"value": 123.0, "devices": 1})
+    rep.record("final", {"metric": bench.METRIC_TRAIN, "unit": "img/s/chip",
+                         "value": 456.0, "vs_baseline": 2.0})
+    rep.record("skip", {"reason": "tpu-pool-unavailable"})
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert lines[0]["value"] == 123.0 and lines[0]["provisional"] is True
+    assert lines[1]["value"] == 456.0 and "provisional" not in lines[1]
+    assert lines[2]["skipped"] == "tpu-pool-unavailable"
+
+
+def test_decode_cache_prunes_oldest_beyond_budget(tmp_path, monkeypatch):
+    import os
+    import time
+
+    from demo2_tpu.data import device_cache as dc
+
+    cache = tmp_path / "dcache"
+    cache.mkdir()
+    monkeypatch.setattr(dc, "DECODE_CACHE_DIR", str(cache))
+    monkeypatch.setattr(dc, "DECODE_CACHE_MAX_BYTES", 2500)
+    for i, name in enumerate(("old.npy", "mid.npy", "new.npy")):
+        p = cache / name
+        p.write_bytes(b"x" * 1000)
+        t = 1000 + i
+        os.utime(p, (t, t))
+    dc._prune_decode_cache(keep=str(cache / "new.npy"))
+    left = sorted(f.name for f in cache.iterdir())
+    assert left == ["mid.npy", "new.npy"]  # oldest evicted, budget met
+    # the just-written entry survives even when it alone exceeds the budget
+    monkeypatch.setattr(dc, "DECODE_CACHE_MAX_BYTES", 100)
+    dc._prune_decode_cache(keep=str(cache / "new.npy"))
+    assert sorted(f.name for f in cache.iterdir()) == ["new.npy"]

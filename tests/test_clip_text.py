@@ -201,3 +201,41 @@ def test_prompt_learner_parity_vs_reference():
     )
     np.testing.assert_allclose(np.asarray(out_emb), np.asarray(out_ids),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_embedding_lora_survives_prompt_path_via_adapted_table():
+    """With an ACTIVE token-embedding adapter, the embedded-prompt path
+    must use adapted_token_embedding — ids path == prompt path then holds
+    (review finding: the raw table silently dropped the adapter)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from demo2_tpu.models.clip_text import (
+        CLIPTextTransformer,
+        adapted_token_embedding,
+    )
+
+    kw = dict(vocab_size=64, context_length=10, width=32, layers=1, heads=2,
+              embed_dim=16)
+    ids = jnp.asarray(np.random.default_rng(2).integers(1, 63, (3, 10)))
+    ids = ids.at[:, -1].set(63)
+    tower = CLIPTextTransformer(lora_rank=4, **kw)
+    v = jax.jit(lambda: tower.init(jax.random.PRNGKey(0), ids))()
+    # give the zero-init A signal so the adapter actually perturbs outputs
+    p = dict(v["params"])
+    p["token_lora_a"] = jax.random.normal(jax.random.PRNGKey(5),
+                                          p["token_lora_a"].shape) * 0.3
+    v = {"params": p}
+
+    out_ids = tower.apply(v, ids)
+    tab = adapted_token_embedding(p["token_embedding"], p["token_lora_a"],
+                                  p["token_lora_b"], tower.lora_alpha)
+    out_adapted = tower.apply(v, prompt_embeds=tab[ids],
+                              eot_idx=jnp.full((3,), 9))
+    np.testing.assert_allclose(np.asarray(out_adapted), np.asarray(out_ids),
+                               rtol=2e-5, atol=2e-5)
+    # the RAW table would NOT match (the adapter is live)
+    out_raw = tower.apply(v, prompt_embeds=p["token_embedding"][ids],
+                          eot_idx=jnp.full((3,), 9))
+    assert np.abs(np.asarray(out_raw) - np.asarray(out_ids)).max() > 1e-3

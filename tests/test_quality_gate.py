@@ -125,6 +125,9 @@ def test_gate_schedule_points():
     # overrides still win
     assert gate_schedule("tuned", 8, warmup_override=1, step_override=4) == (
         1, (4,))
+    # --lr-step at the reference point sets the FIRST milestone; the second
+    # keeps the canonical (40-30)/50 spacing
+    assert gate_schedule("reference", 8, step_override=4) == (2, (4, 6))
     # degenerate budgets keep warmup < first step < second step
     w, st = gate_schedule("reference", 3)
     assert w >= 1 and st[0] > w and st[1] > st[0]

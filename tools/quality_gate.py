@@ -68,8 +68,15 @@ def gate_schedule(point: str, epochs: int, warmup_override: int = -1,
     if point == "reference":
         warmup = warmup_override if warmup_override >= 0 else max(
             1, round(epochs * 10 / 50))
-        steps = (max(warmup + 1, round(epochs * 30 / 50)),
-                 max(warmup + 2, round(epochs * 40 / 50)))
+        if step_override >= 0:
+            # honor --lr-step as the FIRST milestone; the second keeps the
+            # reference's (40-30)/50 spacing
+            first = step_override
+            second = first + max(1, round(epochs * 10 / 50))
+        else:
+            first = round(epochs * 30 / 50)
+            second = round(epochs * 40 / 50)
+        steps = (max(warmup + 1, first), max(warmup + 2, second))
     else:
         warmup = warmup_override if warmup_override >= 0 else max(1, epochs // 3)
         steps = (step_override if step_override >= 0 else max(

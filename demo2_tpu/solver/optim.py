@@ -342,13 +342,17 @@ def make_optimizer(cfg: Config, params, steps_per_epoch: int):
         raise ValueError(f"Unsupported optimizer: {name}")
 
     if cfg.MODEL.FROZEN:
-        # `mark_only_lora_as_trainable` equivalent (reference: clip/LoRA.py,
-        # meta_arch.py:61-62): zero updates for backbone params except LoRA.
+        # `mark_only_lora_as_trainable` equivalent (reference: clip/LoRA.py
+        # :307-316, meta_arch.py:61-62): zero updates for backbone params
+        # except the adapters.  NOTE the reference function literally
+        # exempts params named 'adapter' (the MambaPro FFN adapters) — so
+        # FROZEN+ADAPTER trains adapters there; 'lora' is our extension on
+        # top (the reference never instantiates its LoRA layers).
         def _frozen(path, _):
             keys = [_key_str(k) for k in path]
             in_backbone = len(keys) >= 2 and keys[0] == "backbone" and keys[1] == "base"
-            has_lora = any("lora" in k for k in keys)
-            return in_backbone and not has_lora
+            exempt = any(("lora" in k) or ("adapter" in k) for k in keys)
+            return in_backbone and not exempt
 
         frozen_mask = jax.tree_util.tree_map_with_path(_frozen, params)
         tx = optax.chain(tx, optax.masked(optax.set_to_zero(), frozen_mask))

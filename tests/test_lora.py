@@ -179,3 +179,40 @@ def test_frozen_backbone_merged_lora_subset_trains(tiny_cfg):
         if any("lora_b" in str(k) for k in p)
     ]
     assert moved and max(moved) > 0.0, "merged-LoRA adapters must train"
+
+
+def test_frozen_backbone_keeps_adapters_trainable(tiny_cfg):
+    """Reference mark_only_lora_as_trainable exempts params named
+    'adapter' (clip/LoRA.py:307-316) — FROZEN + ADAPTER must TRAIN the FFN
+    adapters while the rest of the backbone stays frozen."""
+    cfg = tiny_cfg
+    cfg.MODEL.FROZEN = True
+    cfg.MODEL.ADAPTER = True
+    cfg.TPU.LORA_RANK = 0
+    cfg.SOLVER.OPTIMIZER_NAME = "Adam"
+    cfg.freeze()
+
+    train_pipe, sampler, _, _, nc, cams, views = make_dataloader(cfg)
+    model = make_model(cfg, nc, cams, views)
+    batch = next(train_pipe.iter_batches(sampler.epoch_indices(0), seed=0))
+    state, tx, ctx, _ = create_train_state(
+        cfg, model, jax.random.PRNGKey(0), batch, steps_per_epoch=2
+    )
+    step = build_train_step(cfg, model, tx, ctx, mesh=None, donate=False)
+    s1, metrics = step(state, jnp.asarray(batch.images),
+                       jnp.asarray(batch.pids), jnp.asarray(batch.camids),
+                       jnp.asarray(batch.viewids), jax.random.PRNGKey(1))
+    adapter_moved, frozen_moved = 0.0, 0.0
+    flat = jax.tree_util.tree_leaves_with_path(state.params)
+    for (p, l0), l1 in zip(flat, jax.tree_util.tree_leaves(s1.params)):
+        keys = [str(k) for k in p]
+        delta = float(np.abs(np.asarray(l1, np.float32)
+                             - np.asarray(l0, np.float32)).max())
+        in_backbone = any("backbone" in k for k in keys[:1]) and any(
+            "base" in k for k in keys[1:2])
+        if any("adapter" in k for k in keys):
+            adapter_moved = max(adapter_moved, delta)
+        elif in_backbone:
+            frozen_moved = max(frozen_moved, delta)
+    assert adapter_moved > 0.0, "FFN adapters must train under FROZEN"
+    assert frozen_moved == 0.0, "non-adapter backbone params must stay frozen"

@@ -267,6 +267,9 @@ class TPUConfig:
     # "qkv").  "qkv" = the whole-matrix adapter; a proper subset switches to
     # the MergedLinear per-slice semantics (reference clip/LoRA.py:133-231).
     LORA_ENABLE: str = "qkv"
+    # ConvLoRA on the patch-embed conv (reference clip/LoRA.py:231-298
+    # semantics; dormant there like the rest of the vendored library).
+    LORA_CONV: bool = False
     # Store Adam's FIRST moment in bf16 (second moment stays fp32) — halves
     # a third of the optimizer's HBM traffic at a small numerics cost.  OFF
     # by default: the reference trains with full-fp32 Adam state.

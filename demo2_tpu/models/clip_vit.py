@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -294,6 +295,7 @@ class CLIPVisionTransformer(nn.Module):
     remat: bool = False
     lora_rank: int = 0
     lora_enable: tuple = (True, True, True)
+    lora_conv: bool = False
     use_adapter: bool = False
     use_prompt: bool = False
     int8_mlp: str = "off"
@@ -310,7 +312,7 @@ class CLIPVisionTransformer(nn.Module):
         """x: (B, H, W, 3) images; cv_emb: (B, width) SIE embedding or None."""
         b = x.shape[0]
         scale = self.width ** -0.5
-        x = nn.Conv(
+        conv = nn.Conv(
             self.width,
             kernel_size=(self.patch_size, self.patch_size),
             strides=(self.stride_size, self.stride_size),
@@ -319,7 +321,32 @@ class CLIPVisionTransformer(nn.Module):
             dtype=self.dtype,
             param_dtype=jnp.float32,
             name="conv1",
-        )(x.astype(self.dtype))
+        )
+        if self.lora_conv and self.lora_rank > 0:
+            # ConvLoRA on the patch embed (clip/LoRA.py:231-298): params in
+            # the reference layout, delta added to the declared conv kernel.
+            from ..ops.attention import conv_lora_delta
+
+            ks, r = self.patch_size, self.lora_rank
+            _ = conv(x[:1, :ks, :ks].astype(self.dtype))  # declare params
+            kern = conv.variables["params"]["kernel"]
+            la = self.param(
+                "conv_lora_a", nn.initializers.he_uniform(),
+                (r * ks, 3 * ks), jnp.float32,
+            )
+            lb = self.param(
+                "conv_lora_b", nn.initializers.zeros,
+                (self.width * ks, r * ks), jnp.float32,
+            )
+            kern = kern + conv_lora_delta(la, lb, self.width, 3, ks, 1.0)
+            x = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kern.astype(self.dtype),
+                window_strides=(self.stride_size, self.stride_size),
+                padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        else:
+            x = conv(x.astype(self.dtype))
         x = x.reshape(b, -1, self.width)  # (B, N, width)
 
         class_embedding = self.param(

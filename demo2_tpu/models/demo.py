@@ -97,6 +97,7 @@ class _DeMoBase(nn.Module):
             heads_override=cfg.TPU.BACKBONE_HEADS,
             lora_rank=cfg.TPU.LORA_RANK if cfg.MODEL.FROZEN else 0,
             lora_enable=tuple(m in cfg.TPU.LORA_ENABLE for m in "qkv"),
+            lora_conv=cfg.TPU.LORA_CONV,
             use_adapter=cfg.MODEL.ADAPTER,
             use_prompt=cfg.MODEL.PROMPT,
             int8_mlp=cfg.TPU.INT8_MLP,

@@ -75,6 +75,8 @@ class PIFE(nn.Module):
     lora_rank: int = 0
     # Per-slice qkv enablement (MergedLinear semantics when not all-True).
     lora_enable: tuple = (True, True, True)
+    # ConvLoRA on the patch-embed conv (clip/LoRA.py:231-298 semantics).
+    lora_conv: bool = False
     # MambaPro FFN adapters in each CLIP block (MODEL.ADAPTER).
     use_adapter: bool = False
     # MambaPro per-block modality prompt tokens (MODEL.PROMPT); requires
@@ -174,6 +176,7 @@ class PIFE(nn.Module):
                 remat=self.remat,
                 lora_rank=self.lora_rank,
                 lora_enable=self.lora_enable,
+                lora_conv=self.lora_conv,
                 use_adapter=self.use_adapter,
                 use_prompt=self.use_prompt,
                 int8_mlp=self.int8_mlp,

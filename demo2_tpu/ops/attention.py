@@ -70,6 +70,20 @@ def attention_core(
     return _xla_attention(q, k, v, scale, mask_bias, dropout_rate, deterministic, rng)
 
 
+def conv_lora_delta(lora_a, lora_b, out_ch: int, in_ch: int, k: int,
+                    alpha: float):
+    """ConvLoRA weight delta in flax (kh, kw, I, O) layout.
+
+    Reference clip/LoRA.py:231-298: ``lora_A`` (r*k, in*k) and ``lora_B``
+    (out*k, r*k); the delta is ``(B @ A).view(out, in, k, k) * alpha/r``
+    added to the torch conv weight.  The params here keep the REFERENCE
+    layout (conversion is then the identity + scaling fold); the raw
+    row-major reinterpretation and the OIHW->HWIO transpose happen here.
+    """
+    delta = (lora_b @ lora_a).reshape(out_ch, in_ch, k, k)
+    return alpha * jnp.transpose(delta, (2, 3, 1, 0))
+
+
 def merged_lora_delta(lora_a, lora_b, enable, alpha: float):
     """MergedLinear low-rank delta for a packed (c, n*c) projection.
 

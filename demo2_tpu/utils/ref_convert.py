@@ -141,6 +141,21 @@ def convert_merged_lora(lora_A, lora_B, enable, r: int, alpha: float) -> Tree:
     return {"lora_a": a, "lora_b": b * (alpha / r)}
 
 
+def convert_conv_lora(lora_A, lora_B, r: int, alpha: float) -> Tree:
+    """Reference ConvLoRA adapter -> clip_vit patch-embed layout.
+
+    Reference (clip/LoRA.py:231-298): A (r*k, in*k), B (out*k, r*k), delta
+    (B @ A).view(weight.shape) * alpha/r.  Our params keep the reference
+    layout verbatim (ops/attention.conv_lora_delta does the
+    reinterpretation + OIHW->HWIO transpose), so conversion is the
+    identity with the alpha/r scaling folded into B.
+    """
+    return {
+        "conv_lora_a": _arr(lora_A),
+        "conv_lora_b": _arr(lora_B) * (alpha / r),
+    }
+
+
 def convert_embedding_lora(lora_A, lora_B, r: int, alpha: float) -> Tree:
     """Reference LoRA Embedding adapter -> clip_text token-LoRA layout.
 

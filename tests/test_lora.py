@@ -216,3 +216,79 @@ def test_frozen_backbone_keeps_adapters_trainable(tiny_cfg):
             frozen_moved = max(frozen_moved, delta)
     assert adapter_moved > 0.0, "FFN adapters must train under FROZEN"
     assert frozen_moved == 0.0, "non-adapter backbone params must stay frozen"
+
+
+def test_conv_lora_parity_vs_reference():
+    """ConvLoRA (reference clip/LoRA.py:231-298): the flax-layout delta +
+    converter reproduce the reference's unmerged forward on the conv."""
+    import torch
+
+    from ref_loader import load_ref
+
+    ref_lora = load_ref("modeling.clip.LoRA")
+    from demo2_tpu.ops.attention import conv_lora_delta
+    from demo2_tpu.utils.ref_convert import convert_conv_lora
+
+    torch.manual_seed(4)
+    in_ch, out_ch, k, r, alpha = 3, 12, 4, 2, 6
+    m = ref_lora.ConvLoRA(torch.nn.Conv2d, in_ch, out_ch, k, r=r,
+                          lora_alpha=alpha, bias=False, stride=k)
+    with torch.no_grad():  # fresh lora_B is zeros; give it signal
+        m.lora_B.normal_(0, 0.5)
+    m.train()
+    x = torch.randn(2, in_ch, 8, 8)
+    want = m(x).detach().numpy()  # (2, out, 2, 2)
+
+    conv = convert_conv_lora(m.lora_A.detach().numpy(),
+                             m.lora_B.detach().numpy(), r, alpha)
+    delta = conv_lora_delta(jnp.asarray(conv["conv_lora_a"]),
+                            jnp.asarray(conv["conv_lora_b"]),
+                            out_ch, in_ch, k, 1.0)
+    kern = jnp.asarray(  # torch OIHW -> flax HWIO
+        m.conv.weight.detach().numpy().transpose(2, 3, 1, 0))
+    got = jax.lax.conv_general_dilated(
+        jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), kern + delta,
+        window_strides=(k, k), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 3, 1, 2), want, rtol=2e-5, atol=2e-5)
+
+
+def test_frozen_conv_lora_builds_and_trains(tiny_cfg):
+    """TPU.LORA_CONV + FROZEN: the patch-embed adapter params exist in the
+    reference layout, are trainable, and the conv kernel stays frozen."""
+    cfg = tiny_cfg
+    cfg.MODEL.FROZEN = True
+    cfg.TPU.LORA_RANK = 2
+    cfg.TPU.LORA_CONV = True
+    cfg.SOLVER.OPTIMIZER_NAME = "Adam"
+    cfg.freeze()
+
+    train_pipe, sampler, _, _, nc, cams, views = make_dataloader(cfg)
+    model = make_model(cfg, nc, cams, views)
+    batch = next(train_pipe.iter_batches(sampler.epoch_indices(0), seed=0))
+    state, tx, ctx, _ = create_train_state(
+        cfg, model, jax.random.PRNGKey(0), batch, steps_per_epoch=2
+    )
+    flat = jax.tree_util.tree_leaves_with_path(state.params)
+    shapes = {"/".join(str(k) for k in p): l.shape for p, l in flat
+              if any("conv_lora" in str(k) for k in p)}
+    ks = 16
+    assert any(s == (2 * ks, 3 * ks) for s in shapes.values()), shapes
+    step = build_train_step(cfg, model, tx, ctx, mesh=None, donate=False)
+    s1, metrics = step(state, jnp.asarray(batch.images),
+                       jnp.asarray(batch.pids), jnp.asarray(batch.camids),
+                       jnp.asarray(batch.viewids), jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    conv_moved, kern_moved = 0.0, 0.0
+    for (p, l0), l1 in zip(flat, jax.tree_util.tree_leaves(s1.params)):
+        keys = [str(k) for k in p]
+        delta = float(np.abs(np.asarray(l1, np.float32)
+                             - np.asarray(l0, np.float32)).max())
+        if any("conv_lora" in k for k in keys):
+            conv_moved = max(conv_moved, delta)
+        elif any("conv1" in k for k in keys):
+            kern_moved = max(kern_moved, delta)
+    assert conv_moved > 0.0, "ConvLoRA adapter must train"
+    assert kern_moved == 0.0, "the frozen conv kernel must not move"

@@ -36,7 +36,11 @@ ARCH_KNOBS = {
 # `base_lr: None` means the flagship recipe's peak LR.
 GATE_POINTS = {
     "demo": dict(id_weight=0.14, base_lr=None),
-    "parallel": dict(id_weight=0.14, base_lr=None),
+    # parallel re-pinned on round-5 hardware (2026-08-20): the 9-head arch
+    # saturates at the flagship's 0.14 (best 0.9946, over the 0.97 band
+    # ceiling) and never learns at 0.10 (flat 0.06-0.11 over 8 epochs);
+    # 0.12 climbs cleanly to 0.898 (reports/quality_gate_parallel.json).
+    "parallel": dict(id_weight=0.12, base_lr=None),
     "legacy": dict(id_weight=0.06, base_lr=None),
     "frca": dict(id_weight=0.18, base_lr=1.5e-4),
 }
